@@ -1,0 +1,14 @@
+import os
+import sys
+from pathlib import Path
+
+# Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+# exercised without TPU hardware (SURVEY.md §4).
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+xla_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in xla_flags:
+    os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = Path(__file__).resolve().parent.parent
+if str(REPO_ROOT) not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT))
