@@ -1,0 +1,500 @@
+"""The TPU seq2seq transformer family.
+
+One parameterized encoder-decoder covers the reference's backbone zoo —
+VarWhisper (RoPE + RMSNorm + alternating local/global attention, reference:
+``osuT5/.../modeling_varwhisper.py:381-1519``), stock Whisper (sinusoidal/
+learned absolute positions + LayerNorm), and the nanoT5-style variants — via
+:class:`TransformerConfig` switches rather than separate model classes. The
+design is TPU-first:
+
+* static shapes everywhere; the decode path takes an explicit, preallocated
+  KV cache pytree (donated by the caller) and a scalar position index,
+* attention is einsum-based so XLA lowers it onto the MXU and fuses the
+  softmax chain; sliding-window layers use an additive band mask,
+* pre-norm blocks, params in fp32 with a configurable compute dtype (bf16).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Any, Optional
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    vocab_size: int = 4096  # output vocab (decoder embed + lm head)
+    d_model: int = 512
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    encoder_heads: int = 8
+    decoder_heads: int = 8
+    encoder_ffn: int = 2048
+    decoder_ffn: int = 2048
+    activation: str = "gelu"
+    dropout: float = 0.0
+    max_source_positions: int = 1024
+    max_target_positions: int = 2048
+    num_mel_bins: int = 512  # encoder conv-stem input feature dim
+
+    # positional scheme
+    position_scheme: str = "rope"  # "rope" | "whisper_abs" | "none"
+    rope_global_theta: float = 10000.0
+    rope_local_theta: float = 10000.0
+    # every n-th layer is global; others use a sliding window of local_attention
+    global_attn_every_n_layers: int = 1
+    local_attention: int = 128
+
+    # structure
+    norm: str = "rms"  # "rms" | "layer"
+    attention_bias: bool = True
+    conv_stem: bool = True  # whisper conv1(k3s1) + conv2(k3s2) front
+    scale_embedding: bool = False
+    tie_word_embeddings: bool = False
+    pad_token_id: int = 0
+
+    dtype: Dtype = jnp.float32  # compute dtype
+    param_dtype: Dtype = jnp.float32
+
+    @property
+    def head_dim(self) -> int:
+        return self.d_model // self.decoder_heads
+
+
+# ---------------------------------------------------------------------------
+# building blocks
+# ---------------------------------------------------------------------------
+
+
+class Norm(nn.Module):
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.config
+        if cfg.norm == "rms":
+            # eps matches torch.nn.RMSNorm(eps=None) on fp32 inputs
+            return nn.RMSNorm(epsilon=1.1920929e-7, dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
+
+
+def rope_frequencies(head_dim: int, theta: float) -> jnp.ndarray:
+    return 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32) / head_dim))
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Llama-style rotate-half RoPE. x: (B, T, H, D); positions: (B, T)."""
+    head_dim = x.shape[-1]
+    inv_freq = rope_frequencies(head_dim, theta)
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (B, T, D/2)
+    cos = jnp.cos(angles)[:, :, None, :]  # (B, T, 1, D/2)
+    sin = jnp.sin(angles)[:, :, None, :]
+    x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
+    out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def sliding_window_mask(q_pos: jnp.ndarray, k_pos: jnp.ndarray, window: int) -> jnp.ndarray:
+    """True where attention is allowed: |q_pos - k_pos| <= window//2."""
+    diff = q_pos[:, None] - k_pos[None, :]
+    return jnp.abs(diff) <= window // 2
+
+
+def _attend(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    mask: Optional[jnp.ndarray],
+    dtype: Dtype,
+) -> jnp.ndarray:
+    """(B, Tq, H, D) x (B, Tk, H, D) -> (B, Tq, H, D); softmax in fp32."""
+    scale = q.shape[-1] ** -0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    if mask is not None:
+        logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+class Attention(nn.Module):
+    """Self or cross attention; optional RoPE, causal and sliding-window
+    masking, and single-step cached decode."""
+
+    config: TransformerConfig
+    num_heads: int
+    is_cross: bool = False
+    is_causal: bool = False
+    layer_idx: int = 0
+
+    def setup(self):
+        cfg = self.config
+        d = cfg.d_model
+        bias = cfg.attention_bias
+        dense = lambda feats, name: nn.Dense(
+            feats, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name
+        )
+        if self.is_cross:
+            self.wq = dense(d, "wq")
+            self.wkv = dense(2 * d, "wkv")
+        else:
+            self.wqkv = dense(3 * d, "wqkv")
+        self.wo = dense(d, "wo")
+
+    @property
+    def is_local(self) -> bool:
+        return self.layer_idx % self.config.global_attn_every_n_layers != 0
+
+    @property
+    def rope_theta(self) -> float:
+        return self.config.rope_local_theta if self.is_local else self.config.rope_global_theta
+
+    def _heads(self, x: jnp.ndarray, n: int) -> jnp.ndarray:
+        b, t, _ = x.shape
+        return x.reshape(b, t, n, -1)
+
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        kv_source: Optional[jnp.ndarray] = None,
+        positions: Optional[jnp.ndarray] = None,
+        attn_mask: Optional[jnp.ndarray] = None,
+        cache: Optional[dict] = None,
+        cache_index: Optional[jnp.ndarray] = None,
+    ):
+        """Returns (out, new_cache). ``cache`` holds preallocated k/v of shape
+        (B, max_len, H, D); ``cache_index`` is the write position for
+        single-step decode. For cross attention with a cache, k/v are
+        computed once by the engine and passed in via ``cache`` directly."""
+        cfg = self.config
+        b, t, _ = x.shape
+        h = self.num_heads
+
+        if self.is_cross:
+            q = self._heads(self.wq(x), h)
+            if cache is not None:
+                k, v = cache["k"], cache["v"]
+                new_cache = cache
+            else:
+                kv = self.wkv(kv_source)
+                k, v = jnp.split(self._heads(kv, 2 * h), 2, axis=2)
+                new_cache = None
+            mask = attn_mask
+        else:
+            qkv = self._heads(self.wqkv(x), 3 * h)
+            q, k, v = jnp.split(qkv, 3, axis=2)
+            if cfg.position_scheme == "rope":
+                q = apply_rope(q, positions, self.rope_theta)
+                k = apply_rope(k, positions, self.rope_theta)
+
+            if cache is not None:
+                # single-step (or chunked) decode: write k/v at cache_index
+                k_cache = jax.lax.dynamic_update_slice(cache["k"], k.astype(cache["k"].dtype), (0, cache_index, 0, 0))
+                v_cache = jax.lax.dynamic_update_slice(cache["v"], v.astype(cache["v"].dtype), (0, cache_index, 0, 0))
+                new_cache = {"k": k_cache, "v": v_cache}
+                k, v = k_cache, v_cache
+                # causal mask against absolute cache positions
+                k_pos = jnp.arange(k.shape[1])
+                q_pos = cache_index + jnp.arange(t)
+                mask = (k_pos[None, :] <= q_pos[:, None])[None, None]
+                if self.is_local:
+                    mask = mask & sliding_window_mask(q_pos, k_pos, cfg.local_attention)[None, None]
+                if attn_mask is not None:
+                    mask = mask & attn_mask
+            else:
+                new_cache = None
+                mask = attn_mask
+                pos = positions if positions is not None else jnp.arange(t)[None].repeat(b, 0)
+                if self.is_causal:
+                    causal = pos[0][:, None] >= pos[0][None, :]
+                    causal = causal[None, None]
+                    mask = causal if mask is None else (mask & causal)
+                if self.is_local:
+                    band = sliding_window_mask(pos[0], pos[0], cfg.local_attention)[None, None]
+                    mask = band if mask is None else (mask & band)
+
+        out = _attend(q, k, v, mask, cfg.dtype)
+        out = out.reshape(b, t, -1)
+        return self.wo(out), new_cache
+
+
+class FeedForward(nn.Module):
+    config: TransformerConfig
+    ffn_dim: int
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        cfg = self.config
+        act = {"gelu": nn.gelu, "relu": nn.relu, "silu": nn.silu}[cfg.activation]
+        h = nn.Dense(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
+        h = act(h)
+        h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+        h = nn.Dense(cfg.d_model, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(h)
+        return h
+
+
+class EncoderLayer(nn.Module):
+    config: TransformerConfig
+    layer_idx: int
+
+    def setup(self):
+        cfg = self.config
+        self.self_attn_norm = Norm(cfg, name="self_attn_norm")
+        self.self_attn = Attention(cfg, cfg.encoder_heads, is_causal=False, layer_idx=self.layer_idx, name="self_attn")
+        self.final_norm = Norm(cfg, name="final_norm")
+        self.ffn = FeedForward(cfg, cfg.encoder_ffn, name="ffn")
+
+    def __call__(self, x, positions, attn_mask=None, deterministic: bool = True):
+        attn_out, _ = self.self_attn(self.self_attn_norm(x), positions=positions, attn_mask=attn_mask)
+        x = x + attn_out
+        x = x + self.ffn(self.final_norm(x), deterministic=deterministic)
+        return x
+
+
+class DecoderLayer(nn.Module):
+    config: TransformerConfig
+    layer_idx: int
+
+    def setup(self):
+        cfg = self.config
+        self.self_attn_norm = Norm(cfg, name="self_attn_norm")
+        self.self_attn = Attention(cfg, cfg.decoder_heads, is_causal=True, layer_idx=self.layer_idx, name="self_attn")
+        self.cross_attn_norm = Norm(cfg, name="cross_attn_norm")
+        self.cross_attn = Attention(cfg, cfg.decoder_heads, is_cross=True, name="cross_attn")
+        self.final_norm = Norm(cfg, name="final_norm")
+        self.ffn = FeedForward(cfg, cfg.decoder_ffn, name="ffn")
+
+    def __call__(
+        self,
+        x,
+        encoder_states,
+        positions,
+        self_mask=None,
+        cross_mask=None,
+        cache: Optional[dict] = None,
+        cache_index=None,
+        deterministic: bool = True,
+    ):
+        self_cache = cache["self"] if cache is not None else None
+        cross_cache = cache["cross"] if cache is not None else None
+
+        attn_out, new_self = self.self_attn(
+            self.self_attn_norm(x),
+            positions=positions,
+            attn_mask=self_mask,
+            cache=self_cache,
+            cache_index=cache_index,
+        )
+        x = x + attn_out
+
+        cross_out, _ = self.cross_attn(
+            self.cross_attn_norm(x),
+            kv_source=encoder_states,
+            attn_mask=cross_mask,
+            cache=cross_cache,
+        )
+        x = x + cross_out
+
+        x = x + self.ffn(self.final_norm(x), deterministic=deterministic)
+        new_cache = {"self": new_self, "cross": cross_cache} if cache is not None else None
+        return x, new_cache
+
+
+def whisper_sinusoids(length: int, channels: int) -> jnp.ndarray:
+    """Whisper's fixed sinusoidal positional embedding."""
+    log_timescale = math.log(10000) / (channels // 2 - 1)
+    inv_timescales = jnp.exp(-log_timescale * jnp.arange(channels // 2, dtype=jnp.float32))
+    scaled = jnp.arange(length, dtype=jnp.float32)[:, None] * inv_timescales[None, :]
+    return jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=1)
+
+
+class Encoder(nn.Module):
+    config: TransformerConfig
+
+    @nn.compact
+    def __call__(self, features: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        """features: (B, T, num_mel_bins) -> (B, T(/2 with conv stem), D)."""
+        cfg = self.config
+        x = features.astype(cfg.dtype)
+        if cfg.conv_stem:
+            x = nn.Conv(cfg.d_model, (3,), padding=1, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="conv1")(x)
+            x = nn.gelu(x)
+            x = nn.Conv(
+                cfg.d_model, (3,), strides=(2,), padding=1, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="conv2"
+            )(x)
+            x = nn.gelu(x)
+
+        b, t, _ = x.shape
+        positions = jnp.arange(t)[None].repeat(b, 0)
+        if cfg.position_scheme == "whisper_abs":
+            x = x + whisper_sinusoids(cfg.max_source_positions, cfg.d_model)[None, :t].astype(cfg.dtype)
+
+        for i in range(cfg.encoder_layers):
+            x = EncoderLayer(cfg, layer_idx=i, name=f"layers_{i}")(x, positions, deterministic=deterministic)
+        return Norm(cfg, name="norm")(x)
+
+
+class Decoder(nn.Module):
+    config: TransformerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.embed_tokens = nn.Embed(
+            cfg.vocab_size, cfg.d_model, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="embed_tokens"
+        )
+        if cfg.position_scheme == "whisper_abs":
+            self.embed_positions = nn.Embed(
+                cfg.max_target_positions, cfg.d_model, dtype=cfg.dtype, param_dtype=cfg.param_dtype
+            )
+        self.layers = [
+            DecoderLayer(cfg, layer_idx=i, name=f"layers_{i}") for i in range(cfg.decoder_layers)
+        ]
+        self.norm = Norm(cfg, name="norm")
+
+    def __call__(
+        self,
+        inputs_embeds: jnp.ndarray,
+        encoder_states: Optional[jnp.ndarray],
+        positions: Optional[jnp.ndarray] = None,
+        self_mask: Optional[jnp.ndarray] = None,
+        cross_mask: Optional[jnp.ndarray] = None,
+        cache: Optional[list] = None,
+        cache_index=None,
+        deterministic: bool = True,
+    ):
+        cfg = self.config
+        x = inputs_embeds.astype(cfg.dtype)
+        if cfg.scale_embedding:
+            x = x * math.sqrt(cfg.d_model)
+        b, t, _ = x.shape
+        if positions is None:
+            positions = jnp.arange(t)[None].repeat(b, 0)
+        if cfg.position_scheme == "whisper_abs":
+            x = x + self.embed_positions(positions)
+
+        new_caches = []
+        for i, layer in enumerate(self.layers):
+            layer_cache = cache[i] if cache is not None else None
+            x, new_cache = layer(
+                x,
+                encoder_states,
+                positions,
+                self_mask=self_mask,
+                cross_mask=cross_mask,
+                cache=layer_cache,
+                cache_index=cache_index,
+                deterministic=deterministic,
+            )
+            new_caches.append(new_cache)
+        x = self.norm(x)
+        return x, (new_caches if cache is not None else None)
+
+    def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.embed_tokens(input_ids)
+
+
+class OsuTransformer(nn.Module):
+    """Encoder-decoder with LM head. ``__call__`` is the training/teacher-
+    forcing path; ``decode_step`` is the cached autoregressive path."""
+
+    config: TransformerConfig
+
+    def setup(self):
+        cfg = self.config
+        self.encoder = Encoder(cfg, name="encoder")
+        self.decoder = Decoder(cfg, name="decoder")
+        if not cfg.tie_word_embeddings:
+            self.proj_out = nn.Dense(
+                cfg.vocab_size, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj_out"
+            )
+
+    def _lm_head(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.config.tie_word_embeddings:
+            return self.decoder.embed_tokens.attend(x)
+        return self.proj_out(x)
+
+    def encode(self, features: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
+        return self.encoder(features, deterministic=deterministic)
+
+    def __call__(
+        self,
+        features: Optional[jnp.ndarray] = None,
+        decoder_inputs_embeds: Optional[jnp.ndarray] = None,
+        decoder_input_ids: Optional[jnp.ndarray] = None,
+        decoder_attention_mask: Optional[jnp.ndarray] = None,
+        encoder_states: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """Teacher-forced forward -> logits (B, T, vocab)."""
+        if encoder_states is None:
+            encoder_states = self.encoder(features, deterministic=deterministic)
+        if decoder_inputs_embeds is None:
+            decoder_inputs_embeds = self.decoder.embed(decoder_input_ids)
+        self_mask = None
+        if decoder_attention_mask is not None:
+            self_mask = decoder_attention_mask[:, None, None, :].astype(bool)
+        x, _ = self.decoder(
+            decoder_inputs_embeds, encoder_states, self_mask=self_mask, deterministic=deterministic
+        )
+        return self._lm_head(x)
+
+    def init_cache(self, batch: int, max_len: int, encoder_states: jnp.ndarray) -> list:
+        """Preallocated KV cache; cross k/v computed once here."""
+        cfg = self.config
+        h, d = cfg.decoder_heads, cfg.head_dim
+        caches = []
+        for layer in self.decoder.layers:
+            kv = layer.cross_attn.wkv(encoder_states)
+            k, v = jnp.split(kv.reshape(kv.shape[0], kv.shape[1], 2 * h, d), 2, axis=2)
+            caches.append(
+                {
+                    "self": {
+                        "k": jnp.zeros((batch, max_len, h, d), cfg.dtype),
+                        "v": jnp.zeros((batch, max_len, h, d), cfg.dtype),
+                    },
+                    "cross": {"k": k.astype(cfg.dtype), "v": v.astype(cfg.dtype)},
+                }
+            )
+        return caches
+
+    def decode_step(
+        self,
+        input_embeds: jnp.ndarray,
+        cache: list,
+        cache_index,
+        self_mask: Optional[jnp.ndarray] = None,
+        cross_mask: Optional[jnp.ndarray] = None,
+        positions: Optional[jnp.ndarray] = None,
+    ):
+        """One (or a chunk of) decode step(s) with cache update.
+
+        input_embeds: (B, t, D) for the new token(s); cache_index: scalar
+        write offset into the cache. ``positions`` are the logical (RoPE)
+        positions (B, t) — pass mask-aware positions to make left padding
+        output-invariant; defaults to the cache slot index.
+        Returns (logits, new_cache)."""
+        b, t, _ = input_embeds.shape
+        if positions is None:
+            positions = (cache_index + jnp.arange(t))[None].repeat(b, 0)
+        x, new_cache = self.decoder(
+            input_embeds,
+            encoder_states=None,
+            positions=positions,
+            self_mask=self_mask,
+            cross_mask=cross_mask,
+            cache=cache,
+            cache_index=cache_index,
+        )
+        return self._lm_head(x), new_cache
+
+    def embed_decoder_ids(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder.embed(input_ids)
+
+    # common engine-facing name (Mapperatorinator exposes the same)
+    def embed_tokens(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        return self.decoder.embed(input_ids)

@@ -9,6 +9,12 @@ xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (xla_flags + " --xla_force_host_platform_device_count=8").strip()
 
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start, overriding the env var — re-pin to CPU before any backend init.
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
 REPO_ROOT = Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))

@@ -1,0 +1,237 @@
+"""Decode engine tests: greedy parity with a python loop, EOS stopping,
+logit processor semantics (vs HF torch implementations), bucketing invariance."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mapperatorinator_tpu.decode import DecodeEngine
+from mapperatorinator_tpu.decode.logits import (
+    LogitsPipeline,
+    build_logits_pipeline,
+    get_eos_token_ids,
+    top_k_filter,
+    top_p_filter,
+)
+from mapperatorinator_tpu.models import OsuTransformer, TransformerConfig
+
+VOCAB = 64
+EOS = 2
+
+
+def make_pipeline(**kw) -> LogitsPipeline:
+    defaults = dict(
+        vocab_size=VOCAB,
+        time_start=10,
+        time_end=30,
+        sos_ids=(1,),
+        eos_ids=(EOS,),
+        do_sample=False,
+        temperature=1.0,
+    )
+    defaults.update(kw)
+    return LogitsPipeline(**defaults)
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = TransformerConfig(
+        vocab_size=VOCAB,
+        d_model=16,
+        encoder_layers=1,
+        decoder_layers=1,
+        encoder_heads=2,
+        decoder_heads=2,
+        encoder_ffn=32,
+        decoder_ffn=32,
+        max_source_positions=8,
+        max_target_positions=96,
+        num_mel_bins=16,
+        conv_stem=False,
+        position_scheme="rope",
+    )
+    model = OsuTransformer(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 16))
+    params = model.init(jax.random.PRNGKey(0), features=feats, decoder_input_ids=jnp.ones((1, 4), jnp.int32))
+    return cfg, model, params, feats
+
+
+def _python_greedy(model, params, feats, prompt, max_length, pipeline, eos_ids):
+    """Reference decode: plain teacher-forced forward each step, greedy."""
+    ids = list(prompt)
+    state = pipeline.init_state(1)
+    while len(ids) < max_length:
+        logits = model.apply(params, features=feats, decoder_input_ids=jnp.array([ids]))
+        state, scores = pipeline(state, logits[:, -1].astype(jnp.float32))
+        tok = int(jnp.argmax(scores, -1)[0])
+        state = pipeline.update_state(state, jnp.array([tok]))
+        ids.append(tok)
+        if tok in eos_ids:
+            break
+    return ids
+
+
+def test_greedy_engine_matches_python_loop(tiny):
+    cfg, model, params, feats = tiny
+    pipeline = make_pipeline()
+    engine = DecodeEngine(model, params, max_length=24)
+    enc = model.apply(params, feats, method=OsuTransformer.encode)
+
+    prompt = np.array([[1, 5, 7]], np.int32)
+    tokens, cur_len = engine.generate(enc, prompt, pipeline, eos_ids=[EOS], seed=0)
+
+    want = _python_greedy(model, params, feats, [1, 5, 7], 24, make_pipeline(), [EOS])
+    # engine buffer layout: [left pads][prompt][generated][right pads]
+    got = tokens[0].tolist()
+    start = got.index(1)  # prompt SOS
+    out = []
+    for t in got[start:]:
+        if t == 0:  # right-pad tail
+            break
+        out.append(t)
+        if t == EOS:
+            break
+    assert out == want
+
+
+def test_bucketing_invariance(tiny):
+    """Explicit extra left padding must not change the generated tokens."""
+    cfg, model, params, feats = tiny
+    pipeline = make_pipeline()
+    engine = DecodeEngine(model, params, max_length=80)
+    enc = model.apply(params, feats, method=OsuTransformer.encode)
+
+    prompt = np.array([[1, 5, 7]], np.int32)
+    t1, _ = engine.generate(enc, prompt, pipeline, eos_ids=[EOS], seed=0)
+
+    padded = np.pad(prompt, ((0, 0), (13, 0)))  # still < 64 bucket, but more pads
+    mask = np.pad(np.ones_like(prompt, bool), ((0, 0), (13, 0)), constant_values=False)
+    t2, _ = engine.generate(enc, padded, pipeline, eos_ids=[EOS], seed=0, decoder_attention_mask=mask)
+
+    strip = lambda row: [t for t in row.tolist() if t != 0]
+    s1, s2 = strip(t1[0]), strip(t2[0])
+    # the padded call has a shorter generation budget (HF counts pads toward
+    # max_length); content must agree on the common prefix
+    n = min(len(s1), len(s2))
+    assert n > 10 and s1[:n] == s2[:n]
+
+
+def test_eos_range_stops_decode(tiny):
+    """Every token can be declared EOS via the timeshift-range trick; decode
+    must stop immediately after the first sampled token."""
+    cfg, model, params, feats = tiny
+    pipeline = make_pipeline()
+    engine = DecodeEngine(model, params, max_length=96)
+    enc = model.apply(params, feats, method=OsuTransformer.encode)
+    prompt = np.array([[1]], np.int32)
+    tokens, cur_len = engine.generate(enc, prompt, pipeline, eos_ids=list(range(VOCAB)), seed=0)
+    # exactly one generated token: prompt (1 non-pad) + 1 generated
+    non_pad = [t for t in tokens[0].tolist() if t != 0]
+    assert len(non_pad) <= 2 and non_pad[0] == 1
+
+
+def test_monotonic_timeshift_masking():
+    pipeline = make_pipeline()
+    state = pipeline.init_state(2)
+    # row 0 has emitted timeshift value 5 (token 15); row 1 none
+    state = pipeline.update_state(state, jnp.array([15, 3]))
+    scores = jnp.zeros((2, VOCAB))
+    _, out = pipeline(state, scores)
+    assert np.isneginf(np.asarray(out)[0, 10:15]).all()
+    assert np.isfinite(np.asarray(out)[0, 15:30]).all()
+    assert np.isfinite(np.asarray(out)[1, 10:30]).all()
+    # sos resets monotonicity
+    state = pipeline.update_state(state, jnp.array([1, 1]))
+    _, out = pipeline(state, scores)
+    assert np.isfinite(np.asarray(out)[0, 10:30]).all()
+
+
+def test_top_p_matches_hf():
+    import torch
+    from transformers.generation.logits_process import TopPLogitsWarper
+
+    rng = np.random.default_rng(0)
+    scores = rng.standard_normal((4, 50)).astype(np.float32) * 3
+    ours = np.asarray(top_p_filter(jnp.asarray(scores), 0.9))
+    theirs = TopPLogitsWarper(top_p=0.9)(None, torch.tensor(scores)).numpy()
+    np.testing.assert_array_equal(np.isneginf(ours), np.isneginf(theirs))
+    np.testing.assert_allclose(
+        np.where(np.isneginf(ours), 0, ours), np.where(np.isneginf(theirs), 0, theirs), rtol=1e-6
+    )
+
+
+def test_top_k_matches_hf():
+    import torch
+    from transformers.generation.logits_process import TopKLogitsWarper
+
+    rng = np.random.default_rng(1)
+    scores = rng.standard_normal((4, 50)).astype(np.float32) * 3
+    ours = np.asarray(top_k_filter(jnp.asarray(scores), 7))
+    theirs = TopKLogitsWarper(top_k=7)(None, torch.tensor(scores)).numpy()
+    np.testing.assert_array_equal(np.isneginf(ours), np.isneginf(theirs))
+
+
+def test_timeshift_bias():
+    pipeline = make_pipeline(timeshift_bias=2.5)
+    state = pipeline.init_state(1)
+    scores = jnp.zeros((1, VOCAB))
+    _, out = pipeline(state, scores)
+    out = np.asarray(out)
+    assert np.allclose(out[0, 10:30], 2.5)
+    assert np.allclose(out[0, :10], 0)
+
+
+def test_conditional_temperature_types_first():
+    pipeline = make_pipeline(
+        types_first=True,
+        temperature=1.0,
+        timing_temperature=0.1,
+        beat_type_tokens=(40, 41),
+        do_sample=False,
+    )
+    state = pipeline.init_state(1)
+    scores = jnp.ones((1, VOCAB))
+    # last token is a beat type -> timing temperature applies
+    state = pipeline.update_state(state, jnp.array([40]))
+    _, out = pipeline(state, scores)
+    assert np.allclose(np.asarray(out)[0, 0], 10.0)  # 1/0.1
+    # otherwise normal temperature
+    state = pipeline.update_state(state, jnp.array([5]))
+    _, out = pipeline(state, scores)
+    assert np.allclose(np.asarray(out)[0, 0], 1.0)
+
+
+def test_eos_token_ids_helper():
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.osu import ContextType, build_vocabulary
+
+    cfg = compose("/root/reference/configs/train", "v32", schema_cls=schema.TrainConfig)
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vocab = build_vocabulary(cfg)
+    eos = get_eos_token_ids(vocab, lookback_time=3276.8, lookahead_time=6553.6, context_type=ContextType.MAP)
+    assert vocab.eos_id in eos
+    assert vocab.context_eos[ContextType.MAP] in eos
+    from mapperatorinator_tpu.osu.events import EventType
+
+    ts_start = vocab.event_start[EventType.TIME_SHIFT]
+    ts_end = vocab.event_end[EventType.TIME_SHIFT]
+    assert ts_start in eos and ts_start + 326 in eos and ts_start + 328 not in eos
+    assert ts_end - 1 in eos and ts_end - 655 in eos and ts_end - 657 not in eos
+
+
+def test_cfg_dual_batch(tiny):
+    """CFG runs a 2B batch and both halves receive identical continuations."""
+    cfg, model, params, feats = tiny
+    pipeline = make_pipeline()
+    engine = DecodeEngine(model, params, max_length=16)
+    enc = model.apply(params, feats, method=OsuTransformer.encode)
+    enc2 = jnp.concatenate([enc, enc], axis=0)
+    prompt = np.array([[1, 5], [1, 6]], np.int32)  # [neg; pos]
+    tokens, _ = engine.generate(enc2, prompt, pipeline, eos_ids=[EOS], seed=0, cfg_scale=3.0)
+    # generated region starts after the 64-token prompt bucket
+    assert (tokens[0, 64:] == tokens[1, 64:]).all()
+    assert (tokens[:, 64:] != 0).any()  # something was generated

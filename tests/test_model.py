@@ -1,0 +1,169 @@
+"""Model stack tests: shapes, cached-decode consistency, loss semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mapperatorinator_tpu.models import Mapperatorinator, MapperatorinatorConfig, OsuTransformer, TransformerConfig
+from mapperatorinator_tpu.models.mapperatorinator import LABEL_IGNORE_ID
+
+
+def tiny_config(**kw) -> TransformerConfig:
+    defaults = dict(
+        vocab_size=97,
+        d_model=32,
+        encoder_layers=2,
+        decoder_layers=2,
+        encoder_heads=4,
+        decoder_heads=4,
+        encoder_ffn=64,
+        decoder_ffn=64,
+        max_source_positions=16,
+        max_target_positions=24,
+        num_mel_bins=12,
+        position_scheme="rope",
+        norm="rms",
+        conv_stem=True,
+        tie_word_embeddings=False,
+    )
+    defaults.update(kw)
+    return TransformerConfig(**defaults)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    cfg = tiny_config()
+    model = OsuTransformer(cfg)
+    rng = jax.random.PRNGKey(0)
+    feats = jnp.ones((2, 32, 12))
+    ids = jnp.ones((2, 8), jnp.int32)
+    params = model.init(rng, features=feats, decoder_input_ids=ids)
+    return cfg, model, params
+
+
+def test_forward_shapes(tiny_model):
+    cfg, model, params = tiny_model
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 12))
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, cfg.vocab_size)
+    logits = model.apply(params, features=feats, decoder_input_ids=ids)
+    assert logits.shape == (2, 8, cfg.vocab_size)  # conv stem halves encoder len only
+
+
+@pytest.mark.parametrize("scheme,norm", [("rope", "rms"), ("whisper_abs", "layer")])
+def test_cached_decode_matches_teacher_forced(scheme, norm):
+    """The KV-cached step-by-step decode must produce the same logits as the
+    full teacher-forced forward — the core decode-engine invariant."""
+    cfg = tiny_config(position_scheme=scheme, norm=norm)
+    model = OsuTransformer(cfg)
+    rng = jax.random.PRNGKey(0)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 12))
+    T = 7
+    ids = jax.random.randint(jax.random.PRNGKey(2), (2, T), 0, cfg.vocab_size)
+    params = model.init(rng, features=feats, decoder_input_ids=ids)
+
+    full = model.apply(params, features=feats, decoder_input_ids=ids)
+
+    encoder_states = model.apply(params, feats, method=OsuTransformer.encode)
+    cache = model.apply(params, 2, cfg.max_target_positions, encoder_states, method=OsuTransformer.init_cache)
+
+    stepwise = []
+    for t in range(T):
+        embeds = model.apply(params, ids[:, t : t + 1], method=OsuTransformer.embed_decoder_ids)
+        logits, cache = model.apply(params, embeds, cache, t, method=OsuTransformer.decode_step)
+        stepwise.append(logits[:, 0])
+    stepwise = jnp.stack(stepwise, axis=1)
+
+    np.testing.assert_allclose(np.asarray(stepwise), np.asarray(full), rtol=2e-4, atol=2e-4)
+
+
+def test_local_attention_masks_long_range():
+    """A local layer must not attend beyond its window."""
+    cfg = tiny_config(global_attn_every_n_layers=2, local_attention=4, encoder_layers=2)
+    model = OsuTransformer(cfg)
+    feats = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 12))
+    ids = jnp.zeros((1, 4), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), features=feats, decoder_input_ids=ids)
+
+    # perturb a far-away encoder frame; with window 4 the local layer output
+    # at position 0 shouldn't change through layer 1 (local), but the global
+    # layer 0 propagates information. So instead check pure attention masking:
+    from mapperatorinator_tpu.models.transformer import sliding_window_mask
+
+    m = sliding_window_mask(jnp.arange(10), jnp.arange(10), 4)
+    assert bool(m[0, 2]) and not bool(m[0, 3])
+    assert bool(m[5, 7]) and not bool(m[5, 8])
+
+
+def test_mapperatorinator_end_to_end_loss():
+    backbone = tiny_config(num_mel_bins=32)
+    cfg = MapperatorinatorConfig(
+        backbone=backbone,
+        vocab_size_in=120,
+        vocab_size_out=97,
+        n_mels=16,
+        cond_size=0,
+        project_encoder_input=True,
+        embed_decoder_input=True,
+        rhythm_token_start=3,
+        rhythm_token_end=10,
+        rhythm_weight=3.0,
+        label_smoothing=0.1,
+    )
+    model = Mapperatorinator(cfg)
+    samples = jax.random.normal(jax.random.PRNGKey(0), (2, 128 * 31))  # 32 frames
+    ids = jax.random.randint(jax.random.PRNGKey(1), (2, 8), 0, 120)
+    labels = jax.random.randint(jax.random.PRNGKey(2), (2, 8), 0, 97)
+    labels = labels.at[:, -2:].set(LABEL_IGNORE_ID)
+    params = model.init(jax.random.PRNGKey(3), frames=samples, decoder_input_ids=ids, labels=labels)
+    logits, loss = model.apply(params, frames=samples, decoder_input_ids=ids, labels=labels)
+    assert logits.shape == (2, 8, 97)
+    assert np.isfinite(float(loss)) and float(loss) > 0
+
+    # ignored labels don't contribute: changing them must not change the loss
+    labels2 = labels.at[:, -1].set(LABEL_IGNORE_ID)
+    _, loss2 = model.apply(params, frames=samples, decoder_input_ids=ids, labels=labels2)
+    assert float(loss) == pytest.approx(float(loss2))
+
+
+def test_loss_rhythm_weighting():
+    cfg = MapperatorinatorConfig(
+        backbone=tiny_config(),
+        vocab_size_out=97,
+        rhythm_token_start=0,
+        rhythm_token_end=97,
+        rhythm_weight=2.0,
+        label_smoothing=0.0,
+    )
+    model = Mapperatorinator(cfg)
+    logits = jnp.zeros((1, 4, 97))
+    labels = jnp.array([[1, 2, 3, 4]])
+    # all classes weighted 2 -> loss is 2x the unweighted CE... but the
+    # denominator is the label count, so weight scales the mean.
+    loss = model.loss(logits, labels)
+    expected = 2.0 * -jax.nn.log_softmax(jnp.zeros(97))[0]
+    assert float(loss) == pytest.approx(float(expected), rel=1e-5)
+
+
+def test_conditioning_embedders():
+    backbone = tiny_config(num_mel_bins=16 + 8)
+    cfg = MapperatorinatorConfig(
+        backbone=backbone,
+        vocab_size_in=120,
+        vocab_size_out=97,
+        n_mels=16,
+        cond_dim=8,
+        cond_size=8,
+        do_difficulty_embed=True,
+        project_encoder_input=True,
+    )
+    model = Mapperatorinator(cfg)
+    samples = jax.random.normal(jax.random.PRNGKey(0), (2, 128 * 31))
+    ids = jnp.ones((2, 4), jnp.int32)
+    diff = jnp.array([3.5, 6.0])
+    params = model.init(jax.random.PRNGKey(1), frames=samples, decoder_input_ids=ids, difficulty=diff)
+    logits, _ = model.apply(params, frames=samples, decoder_input_ids=ids, difficulty=diff)
+    assert logits.shape == (2, 4, 97)
+    # different difficulty -> different logits
+    logits2, _ = model.apply(params, frames=samples, decoder_input_ids=ids, difficulty=jnp.array([1.0, 9.0]))
+    assert not np.allclose(np.asarray(logits), np.asarray(logits2))
