@@ -15,9 +15,14 @@ REFERENCE = Path("/root/reference")
 
 
 def _stub(name: str, **attrs) -> types.ModuleType:
+    import importlib.machinery
+
     mod = sys.modules.get(name)
     if mod is None:
         mod = types.ModuleType(name)
+        # a real-looking spec so importlib.util.find_spec (used by
+        # transformers' availability probes) doesn't choke on the stub
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
         sys.modules[name] = mod
     for k, v in attrs.items():
         setattr(mod, k, v)
@@ -47,7 +52,16 @@ def install_stubs() -> None:
         def register_new_resolver(cls, name, fn, **k):
             cls._resolvers[name] = fn
 
-    _stub("omegaconf", OmegaConf=_OmegaConf, MISSING="???", DictConfig=dict, ListConfig=list)
+    import contextlib
+
+    _stub(
+        "omegaconf",
+        OmegaConf=_OmegaConf,
+        MISSING="???",
+        DictConfig=dict,
+        ListConfig=list,
+        open_dict=contextlib.nullcontext,
+    )
 
     # slider (only class names needed for import)
     class _Placeholder:
@@ -65,7 +79,14 @@ def install_stubs() -> None:
         Spinner=_Placeholder,
     )
     _stub("slider.beatmap", Beatmap=_Placeholder, HitObject=_Placeholder)
-    _stub("slider.curve", Curve=_Placeholder)
+    _stub(
+        "slider.curve",
+        Curve=_Placeholder,
+        Linear=_Placeholder,
+        Catmull=_Placeholder,
+        Perfect=_Placeholder,
+        MultiBezier=_Placeholder,
+    )
     _stub("slider.mod", circle_radius=lambda cs: 32.0)
     slider.beatmap = sys.modules["slider.beatmap"]
     slider.curve = sys.modules["slider.curve"]
@@ -78,6 +99,12 @@ def install_stubs() -> None:
     # nnAudio / torchaudio may be absent
     for name in ("nnAudio", "nnAudio.features"):
         _stub(name, MelSpectrogram=_Placeholder)
+
+    # wandb / peft (training-utils imports)
+    _stub("wandb", Artifact=_Placeholder, init=lambda *a, **k: None, log=lambda *a, **k: None,
+          run=None, Api=_Placeholder)
+    _stub("wandb.apis", public=None)
+    _stub("wandb.apis.public", Run=_Placeholder)
 
 
 def import_reference_osut5():
