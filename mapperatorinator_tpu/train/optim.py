@@ -169,9 +169,10 @@ def muon(
 
         def adamw_update(g, m1, m2, param):
             upd = m1 / (adamw_eps + jnp.sqrt(m2))
-            # decoupled decay then step, matching the reference's in-place order
+            # reference quirk (muon_utils.py:200-203): the decay uses the
+            # adamw lr but the step itself uses the MUON lr
             decay = -adamw_lr * adamw_wd * param
-            return decay - (adamw_lr / adamw_scale_f) * upd
+            return decay - (lr / adamw_scale_f) * upd
 
         def one(g, buf, m1, m2, param, is_muon):
             if is_muon and g.ndim >= 2:
