@@ -142,6 +142,50 @@ class DecodeEngine:
         )
         return np.asarray(tokens), np.asarray(lengths)
 
+    def forward(
+        self,
+        encoder_states,
+        decoder_input_ids: np.ndarray,
+        decoder_attention_mask: Optional[np.ndarray] = None,
+        cfg_scale: float = 1.0,
+    ) -> np.ndarray:
+        """Teacher-forced forward -> fp32 logits (B, T, V); folds the CFG dual
+        batch like the reference's model_forward (reference: server.py:160-181).
+        With cfg_scale > 1 the batch is [neg; pos] and B halves on return."""
+        B, T = decoder_input_ids.shape
+        key = ("forward", B, T, np.shape(encoder_states))
+        fn = self._generate_fn_cache.get(key)
+        if fn is None:
+            model = self.model
+
+            @jax.jit
+            def fn(params, enc, ids, mask):
+                logits = model.apply(
+                    params,
+                    decoder_input_ids=ids,
+                    decoder_attention_mask=mask,
+                    encoder_states=enc,
+                )
+                if isinstance(logits, tuple):
+                    logits = logits[0]
+                return logits.astype(jnp.float32)
+
+            self._generate_fn_cache[key] = fn
+        if decoder_attention_mask is None:
+            decoder_attention_mask = decoder_input_ids != self.pad_token_id
+        logits = fn(
+            self.params,
+            jnp.asarray(encoder_states),
+            jnp.asarray(decoder_input_ids, jnp.int32),
+            jnp.asarray(decoder_attention_mask),
+        )
+        logits = np.asarray(logits)
+        if cfg_scale > 1.0:
+            half = logits.shape[0] // 2
+            neg, pos = logits[:half], logits[half:]
+            logits = pos + (neg - pos) * cfg_scale
+        return logits
+
     # -- compiled internals -------------------------------------------------------
 
     def _build_generate_fn(self, B: int, P: int, max_length: int, pipeline: LogitsPipeline, cfg_scale: float):

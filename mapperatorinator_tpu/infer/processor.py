@@ -37,6 +37,12 @@ from ..osu.vocab import MILLISECONDS_PER_STEP, Vocabulary
 MILLISECONDS_PER_SECOND = 1000
 
 
+def _softmax(x: np.ndarray) -> np.ndarray:
+    x = x - x.max(axis=-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(axis=-1, keepdims=True)
+
+
 def calculate_difficulty(path=None, beatmap=None) -> Optional[float]:
     """Star-rating calculation hook. The reference uses rosu-pp (Rust); the
     native C++ difficulty calculator lands in a later round — until then
@@ -486,6 +492,181 @@ class Processor:
                     self.add_predicted_tokens_to_context(out_context[0], sequence[start:end], frame_time)
                 sequence_index += 1
 
+    # -- AI modding (teacher-forced surprisal analysis) --------------------------------
+
+    def ai_mod(
+        self,
+        *,
+        sequences,
+        generation_config: GenerationConfig,
+        beatmap_path: Optional[str] = None,
+        verbose: bool = True,
+    ) -> list[dict]:
+        """Per-token relative surprisal + argmax suggestions over a finished
+        beatmap (reference: processor.py:421-579)."""
+        gen_in_context, gen_out_context, req_special_tokens = self._get_viable_template(
+            gamemode=generation_config.gamemode,
+        )
+        model_kwargs = self._get_model_cond_kwargs(generation_config)
+        song_length = sequences[2]
+        in_context_data = self.get_in_context(
+            in_context=gen_in_context, beatmap_path=beatmap_path, song_length=song_length
+        )
+        out_context_data = self.get_out_context(
+            out_context=gen_out_context,
+            generation_config=generation_config,
+            given_context=gen_out_context,  # everything is provided
+            beatmap_path=beatmap_path,
+            song_length=song_length,
+            verbose=verbose,
+        )
+
+        frames = sequences[0]
+        frame_times = sequences[1]
+
+        cond_prompts, uncond_prompts, model_kwargses = [], [], []
+        for i in range(len(frame_times)):
+            frame_time = int(frame_times[i])
+            cond_prompt, uncond_prompt = self.get_prompts(
+                self.prepare_context_sequences(in_context_data, frame_time, False, req_special_tokens),
+                self.prepare_context_sequences(out_context_data, frame_time, True, req_special_tokens),
+                close_last_context=True,
+            )
+            cond_prompts.append(cond_prompt)
+            uncond_prompts.append(uncond_prompt)
+            kwargs = dict(model_kwargs)
+            if self.do_song_position_embed:
+                kwargs["song_position"] = np.array(
+                    [[frame_time / song_length, (frame_time + self.miliseconds_per_sequence) / song_length]],
+                    np.float32,
+                )
+            model_kwargses.append(kwargs)
+
+        for context in out_context_data:
+            context["surprisals"] = np.zeros(len(context["events"]), np.float32)
+            context["expected_events"] = np.array(context["events"], dtype=np.object_)
+            context["expected_events_str"] = np.empty(len(context["events"]), dtype=np.object_)
+            context["events_str"] = np.empty(len(context["events"]), dtype=np.object_)
+
+        sequence_index = 0
+        max_batch_size = max(1, self.max_batch_size // (2 if self.cfg_scale > 1 else 1))
+        for b in range(0, len(frame_times), max_batch_size):
+            frames_batch = frames[b : b + max_batch_size]
+            cond_batch = cond_prompts[b : b + max_batch_size]
+            uncond_batch = uncond_prompts[b : b + max_batch_size]
+            kw_batch = model_kwargses[b : b + max_batch_size]
+            padded, _ = self.pad_prompts(cond_batch + (uncond_batch if self.cfg_scale > 1 else []))
+            n = len(cond_batch)
+            ids = np.concatenate(padded[:n], axis=0)
+            kw = {
+                k: np.concatenate([x[k] for x in kw_batch], axis=0) for k in (kw_batch[0] or {})
+            }
+            encoder_states = self.engine.encode_with_cond(frames_batch, kw)
+            if self.cfg_scale > 1:
+                import jax.numpy as jnp
+
+                ids = np.concatenate([np.concatenate(padded[n:], axis=0), ids], axis=0)
+                encoder_states = jnp.concatenate([encoder_states, encoder_states], axis=0)
+            logits_batch = self.engine.forward(encoder_states, ids, cfg_scale=self.cfg_scale)
+
+            for row_i in range(n):
+                result = logits_batch[row_i]
+                for context in out_context_data:
+                    trim_lookback = sequence_index != 0
+                    trim_lookahead = sequence_index != len(frames) - 1
+                    frame_time = int(frame_times[sequence_index])
+
+                    s, e = self._get_events_time_range(
+                        context["event_times"], frame_time, frame_time + self.miliseconds_per_sequence
+                    )
+                    events = context["events"][s:e]
+                    event_times = context["event_times"][s:e]
+                    tokens = self._encode(events, frame_time)[0]
+                    seq_prompt = cond_prompts[sequence_index][0]
+                    padding = result.shape[0] - len(seq_prompt)
+
+                    window_start_t = frame_time + self.lookback_time if trim_lookback else frame_time
+                    window_end_t = (
+                        frame_time + self.lookahead_max_time
+                        if trim_lookahead
+                        else frame_time + self.miliseconds_per_sequence
+                    )
+                    s2, e2 = self._get_events_time_range(event_times, window_start_t, window_end_t)
+
+                    if self.add_out_context_types:
+                        start, end = self._get_token_context(
+                            seq_prompt,
+                            self.vocab.context_sos[context["context_type"]],
+                            self.vocab.context_eos[context["context_type"]],
+                            strict=True,
+                        )
+                    else:
+                        start, end = self._get_token_context(seq_prompt, self.vocab.sos_id, self.vocab.eos_id)
+
+                    # logits for the event itself, not the next event
+                    logits = result[start + padding - 1 : end + padding - 1]
+                    assert len(logits) == len(events), (
+                        f"Logits length {len(logits)} does not match events length {len(events)}"
+                    )
+
+                    tokens = tokens[s2:e2]
+                    logits = logits[s2:e2]
+
+                    probs = _softmax(logits)
+                    entropy = -np.sum(probs * np.log2(probs + 1e-10), axis=-1)
+                    surprisal = -np.log2(probs[np.arange(len(tokens)), tokens] + 1e-10)
+                    relative = np.where(entropy > 0, surprisal / entropy, 0)
+
+                    suggested_tokens = logits.argmax(axis=-1)
+                    suggested_events = self._decode(suggested_tokens, frame_time, True)
+
+                    context["surprisals"][s:e][s2:e2] = relative
+                    context["expected_events"][s:e][s2:e2] = suggested_events
+
+                    for i, event in enumerate(context["events"][s:e][s2:e2]):
+                        context["events_str"][s:e][s2:e2][i] = self._process_event_str(event)
+                    for i, event in enumerate(context["expected_events"][s:e][s2:e2]):
+                        context["expected_events_str"][s:e][s2:e2][i] = self._process_event_str(event)
+
+                sequence_index += 1
+
+        return out_context_data
+
+    def _process_event_str(self, event: Event):
+        """Human-readable event rendering for MaiMod output
+        (reference: processor.py:532-570)."""
+        offset = self.position_precision // 2 if getattr(self, "position_precision", 1) > 1 else 0
+        if event.type in (EventType.POS_X, EventType.POS_Y):
+            return f"{event.type.value[4]}:{event.value * self.position_precision}"
+        if event.type == EventType.POS:
+            return (
+                f"x:{((event.value % self.x_count) + self.x_min) * self.position_precision + offset} "
+                f"y:{((event.value // self.x_count) + self.y_min) * self.position_precision + offset}"
+            )
+        if event.type == EventType.DISTANCE:
+            return f"{event.value}"
+        if event.type == EventType.MANIA_COLUMN:
+            return f"{event.value + 1}"
+        if event.type == EventType.VOLUME:
+            return f"{event.value}%"
+        if event.type == EventType.SNAPPING:
+            return f"1/{event.value}" if event.value > 0 else "none"
+        if event.type == EventType.TIME_SHIFT:
+            timestamp = f"{event.value // 60000:02}:{(event.value // 1000) % 60:02}:{event.value % 1000:03}"
+            return f"[link=osu://edit/{timestamp}]{timestamp}[/link]"
+        if event.type == EventType.SCROLL_SPEED:
+            return f"x{(event.value / 100):.2f}"
+        if event.type == EventType.HITSOUND:
+            hitsound_map = ["whistle", "finish", "clap"]
+            hitsounds = [hitsound_map[i] for i in range(3) if (event.value >> i) & 1]
+            sampleset_map = ["normal", "soft", "drum"]
+            sampleset = (event.value // 8) % 3
+            additions = (event.value // 24) % 3
+            return f"{sampleset_map[sampleset]}:{sampleset_map[additions]}-{':'.join(hitsounds) if hitsounds else 'none'}"
+        if event.type == EventType.CONTROL and event.value in [self.vocab.eos_id] + list(self.vocab.context_eos.values()):
+            return "End of sequence"
+        return event
+
     # -- result trimming helpers -----------------------------------------------------
 
     def _strip_result_row(self, row: np.ndarray, prompt_len: int) -> np.ndarray:
@@ -924,15 +1105,19 @@ class Processor:
             to_concat.append(np.array([[self.vocab.context_eos[context_type]]], np.int32))
         return np.concatenate(to_concat, axis=-1)
 
-    def get_prompt(self, in_context, out_context, negative=False, max_token_length=None) -> np.ndarray:
+    def get_prompt(
+        self, in_context, out_context, negative=False, max_token_length=None, close_last_context=False
+    ) -> np.ndarray:
         class_container = out_context[0]
         user_prompt = class_container["negative_class"] if negative else class_container["class"]
         extra_special_tokens = class_container.get("extra_special_tokens", np.zeros((1, 0), np.int32))
         pre_tokens = class_container.get("pre_tokens", np.zeros((1, 0), np.int32))
 
         in_tokens = [self.get_context_tokens(c, max_token_length) for c in in_context]
+        # the last out context's type-EOS is normally left for the model to
+        # generate; teacher-forced analysis (ai_mod) closes it explicitly
         out_tokens = [
-            self.get_context_tokens(c, max_token_length, i != len(out_context) - 1)
+            self.get_context_tokens(c, max_token_length, close_last_context or i != len(out_context) - 1)
             for i, c in enumerate(out_context)
         ]
         if max_token_length is not None:
@@ -946,9 +1131,10 @@ class Processor:
         sos = np.array([[self.vocab.sos_id]], np.int32)
         return np.concatenate([prefix, sos] + out_tokens, axis=-1).astype(np.int32)
 
-    def get_prompts(self, in_context, out_context):
-        cond_prompt = self.get_prompt(in_context, out_context)
-        uncond_prompt = self.get_prompt(in_context, out_context, negative=True) if self.cfg_scale > 1 else None
+    def get_prompts(self, in_context, out_context, close_last_context=False):
+        kw = dict(close_last_context=close_last_context)
+        cond_prompt = self.get_prompt(in_context, out_context, **kw)
+        uncond_prompt = self.get_prompt(in_context, out_context, negative=True, **kw) if self.cfg_scale > 1 else None
 
         i = 0
         max_length = self.tgt_seq_len
@@ -957,9 +1143,9 @@ class Processor:
             if i > 10:
                 raise ValueError("Prompt is too long.")
             max_length = max_length // 2
-            cond_prompt = self.get_prompt(in_context, out_context, max_token_length=max_length)
+            cond_prompt = self.get_prompt(in_context, out_context, max_token_length=max_length, **kw)
             uncond_prompt = (
-                self.get_prompt(in_context, out_context, negative=True, max_token_length=max_length)
+                self.get_prompt(in_context, out_context, negative=True, max_token_length=max_length, **kw)
                 if self.cfg_scale > 1
                 else None
             )

@@ -78,7 +78,16 @@ def install_stubs() -> None:
         Slider=_Placeholder,
         Spinner=_Placeholder,
     )
-    _stub("slider.beatmap", Beatmap=_Placeholder, HitObject=_Placeholder)
+    _stub(
+        "slider.beatmap",
+        Beatmap=_Placeholder,
+        HitObject=_Placeholder,
+        Slider=_Placeholder,
+        Spinner=_Placeholder,
+        Circle=_Placeholder,
+        HoldNote=_Placeholder,
+        TimingPoint=_Placeholder,
+    )
     _stub(
         "slider.curve",
         Curve=_Placeholder,

@@ -1,0 +1,178 @@
+"""Data pipeline tests: sequence construction, tokenization layout, batching."""
+
+import json
+import wave
+
+import numpy as np
+import pytest
+
+from mapperatorinator_tpu.config import compose, schema
+from mapperatorinator_tpu.osu import BeatmapParser, build_vocabulary
+from mapperatorinator_tpu.osu.events import ContextType, EventType
+from mapperatorinator_tpu.train.data import OrsDataset, TokenBalancedBatcher, collate_batch
+from mapperatorinator_tpu.train.data.batching import batch_iterator
+from mapperatorinator_tpu.train.data.sequence import LABEL_IGNORE_ID
+
+
+OSU_TEMPLATE = """osu file format v14
+
+[General]
+AudioFilename: audio.wav
+Mode: 0
+
+[Metadata]
+Title:T{i}
+Artist:A
+Creator:C
+Version:V{i}
+BeatmapID:{bid}
+
+[Difficulty]
+HPDrainRate:5
+CircleSize:4
+OverallDifficulty:7
+ApproachRate:9
+SliderMultiplier:1.4
+SliderTickRate:1
+
+[TimingPoints]
+500,500,4,2,0,70,1,0
+
+[HitObjects]
+{objects}
+"""
+
+
+@pytest.fixture(scope="module")
+def ors_dataset_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ors")
+    rng = np.random.default_rng(0)
+    sr = 16000
+    for track_i in range(2):
+        track = root / f"Track{track_i:05d}"
+        (track / "beatmaps").mkdir(parents=True)
+        # 8 second sine audio
+        t = np.arange(sr * 8) / sr
+        x = (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype("<i2")
+        with wave.open(str(track / "audio.wav"), "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(sr)
+            w.writeframes(x.tobytes())
+
+        metadata = {"Beatmaps": {}}
+        for bm_i in range(2):
+            name = f"map{bm_i}"
+            objects = "\n".join(
+                f"{int(rng.integers(50, 450))},{int(rng.integers(50, 330))},{500 + k * 400},"
+                f"{5 if k % 4 == 0 else 1},0,0:0:0:0:"
+                for k in range(16)
+            )
+            (track / "beatmaps" / f"{name}.osu").write_text(
+                OSU_TEMPLATE.format(i=bm_i, bid=track_i * 10 + bm_i, objects=objects)
+            )
+            metadata["Beatmaps"][name] = {
+                "BeatmapId": track_i * 10 + bm_i,
+                "Index": track_i * 2 + bm_i,
+                "StandardStarRating": {"0": 3.5, "64": 4.5},
+                "RankedYear": 2018,
+            }
+        (track / "metadata.json").write_text(json.dumps(metadata))
+    return root
+
+
+@pytest.fixture(scope="module")
+def data_setup(ors_dataset_dir):
+    cfg = compose("/root/repo/configs/train", "v32", schema_cls=schema.TrainConfig)
+    cfg.data.dataset_type = "ors"
+    cfg.data.train_dataset_path = str(ors_dataset_dir)
+    cfg.data.train_dataset_start = 0
+    cfg.data.train_dataset_end = 2
+    cfg.data.test_dataset_path = str(ors_dataset_dir)
+    cfg.data.test_dataset_start = 0
+    cfg.data.test_dataset_end = 2
+    cfg.data.src_seq_len = 256
+    cfg.data.tgt_seq_len = 384
+    cfg.data.per_track = True
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vocab = build_vocabulary(cfg)
+    parser = BeatmapParser(cfg, vocab)
+    return cfg, vocab, parser
+
+
+def test_dataset_yields_valid_sequences(data_setup):
+    cfg, vocab, parser = data_setup
+    dataset = OrsDataset(cfg.data, parser, vocab, test=True)
+    samples = []
+    for s in dataset:
+        samples.append(s)
+        if len(samples) >= 8:
+            break
+    assert len(samples) == 8
+    for s in samples:
+        assert s["frames"].shape == ((cfg.data.src_seq_len - 1) * cfg.data.hop_length,)
+        assert s["decoder_input_ids"].shape == (cfg.data.tgt_seq_len,)
+        assert s["labels"].shape == (cfg.data.tgt_seq_len,)
+        assert s["decoder_input_ids"].dtype == np.int64
+        # SOS present
+        assert (s["decoder_input_ids"] == vocab.sos_id).any()
+        # labels are either ignore, or valid out-vocab ids
+        valid = s["labels"][s["labels"] != LABEL_IGNORE_ID]
+        assert (valid >= 0).all() and (valid < vocab.vocab_size_out).all()
+        assert s["song_position"].shape == (2,)
+
+
+def test_sequence_token_layout(data_setup):
+    """Input layout: [specials][SOS][ctx-sos ... ctx-eos]..., labels shifted by 1."""
+    cfg, vocab, parser = data_setup
+    dataset = OrsDataset(cfg.data, parser, vocab, test=True)
+    s = next(iter(dataset))
+    ids = s["decoder_input_ids"]
+    labels = s["labels"]
+    sos_pos = int(np.argmax(ids == vocab.sos_id))
+    # v32 template: out contexts [timing, map, sv] bracketed by context sos/eos
+    timing_sos = vocab.context_sos[ContextType.TIMING]
+    assert ids[sos_pos + 1] == timing_sos
+    # labels are the next-token targets: label at sos_pos is the context sos
+    assert labels[sos_pos] == timing_sos
+    # the final label is EOS
+    nz = np.nonzero(labels != LABEL_IGNORE_ID)[0]
+    assert labels[nz[-1]] == vocab.eos_id
+
+
+def test_token_balanced_batcher(data_setup):
+    cfg, vocab, parser = data_setup
+
+    def fake_samples(n):
+        rng = np.random.default_rng(0)
+        for i in range(n):
+            L = int(rng.integers(10, 380))
+            mask = np.zeros(384, np.int64)
+            mask[:L] = 1
+            yield {"decoder_attention_mask": mask, "idx": np.int64(i)}
+
+    batches = list(TokenBalancedBatcher(fake_samples(64), batch_size=8, buffer_size=32))
+    assert len(batches) == 8
+    # batch token totals should be roughly equal within each buffer flush
+    totals = [sum(int(s["decoder_attention_mask"].sum()) for s in b) for b in batches[:4]]
+    assert max(totals) - min(totals) < 0.25 * max(totals)
+
+
+def test_collate_and_batch_iterator(data_setup):
+    cfg, vocab, parser = data_setup
+    dataset = OrsDataset(cfg.data, parser, vocab, test=True)
+
+    def limited():
+        for i, s in enumerate(dataset):
+            if i >= 4:
+                break
+            yield s
+
+    batches = list(batch_iterator(limited(), batch_size=2))
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["decoder_input_ids"].shape == (2, cfg.data.tgt_seq_len)
+    assert b["frames"].shape[0] == 2
