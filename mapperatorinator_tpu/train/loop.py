@@ -1,0 +1,288 @@
+"""Training loop: epoching, eval/logging/checkpoint hooks, metrics.
+
+Functional equivalent of the reference's Accelerate loop (reference:
+``osuT5/osuT5/utils/train_utils.py:88-489``, ``osuT5/train.py:49-145``):
+per-step forward/backward via the jitted train step, periodic per-context
+eval with timing/hitsound/position accuracy breakdowns, streaming-mean
+logging, orbax checkpointing with total-limit retention and auto-resume,
+and ``jax.profiler`` windows driven by ProfileConfig.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from pathlib import Path
+from typing import Any, Callable, Iterable, Optional
+
+import jax
+import numpy as np
+
+from ..osu.events import ContextType, EventType
+from ..osu.vocab import Vocabulary
+
+LABEL_IGNORE_ID = -100
+
+
+class Averager:
+    """Streaming means (reference: log_utils.py:5-43)."""
+
+    def __init__(self):
+        self.reset()
+
+    def reset(self) -> None:
+        self.total = {}
+        self.counter = {}
+
+    def update(self, stats: dict) -> None:
+        for key, value in stats.items():
+            value = np.asarray(value, dtype=np.float64)
+            if key in self.total:
+                self.total[key] += value.sum()
+                self.counter[key] += value.size
+            else:
+                self.total[key] = value.sum()
+                self.counter[key] = value.size
+
+    def average(self) -> dict:
+        out = {key: float(self.total[key] / self.counter[key]) for key in self.total}
+        self.reset()
+        return out
+
+
+def add_prefix(prefix: str, stats: dict) -> dict:
+    return {f"{prefix}/{k}": v for k, v in stats.items()}
+
+
+def acc_range(preds, labels, start_index, end_index) -> np.ndarray:
+    index = (start_index <= labels) & (labels < end_index)
+    return (preds[index] == labels[index]).astype(np.float32)
+
+
+def fuzzy_acc_range(preds, labels, start_index, end_index, fuzzyness=0) -> np.ndarray:
+    index = (start_index <= labels) & (labels < end_index)
+    rl, rp = labels[index], preds[index]
+    return ((rp - fuzzyness <= rl) & (rl <= rp + fuzzyness)).astype(np.float32)
+
+
+def get_stats(loss, preds, labels, vocab: Vocabulary, args) -> dict:
+    """Per-range accuracy metrics (reference: train_utils.py:327-376)."""
+    es, ee = vocab.event_start, vocab.event_end
+    stats = {
+        "loss": np.asarray(loss),
+        "timing_acc": acc_range(preds, labels, es[EventType.TIME_SHIFT], ee[EventType.TIME_SHIFT]),
+        "fuzzy_timing_acc": fuzzy_acc_range(preds, labels, es[EventType.TIME_SHIFT], ee[EventType.TIME_SHIFT], 2),
+        "hitsound_acc": acc_range(preds, labels, es[EventType.HITSOUND], ee[EventType.HITSOUND]),
+        "volume_acc": acc_range(preds, labels, es[EventType.VOLUME], ee[EventType.VOLUME]),
+        "other_acc": acc_range(preds, labels, ee[EventType.VOLUME], ee[EventType.VOLUME] + vocab.vocab_size_out),
+    }
+    if args.data.add_positions:
+        if args.data.position_split_axes:
+            stats["position_acc"] = acc_range(preds, labels, es[EventType.POS_X], ee[EventType.POS_Y])
+        else:
+            stats["position_acc"] = acc_range(preds, labels, es[EventType.POS], ee[EventType.POS])
+    if args.data.add_distances:
+        stats["spacing_acc"] = acc_range(preds, labels, es[EventType.DISTANCE], ee[EventType.DISTANCE])
+    if 3 in args.data.gamemodes:
+        stats["column_acc"] = acc_range(preds, labels, es[EventType.MANIA_COLUMN], ee[EventType.MANIA_COLUMN])
+    if 1 in args.data.gamemodes or 3 in args.data.gamemodes:
+        stats["scroll_speed_acc"] = acc_range(
+            preds, labels, es[EventType.SCROLL_SPEED], ee[EventType.SCROLL_SPEED]
+        )
+    return stats
+
+
+def eval_model(
+    eval_step: Callable,
+    params,
+    eval_batches: Iterable[dict],
+    vocab: Vocabulary,
+    args,
+    max_steps: Optional[int] = None,
+) -> dict:
+    """Per-context-type eval (reference: train_utils.py:236-318). Batches are
+    sliced by context-SOS token presence in the decoder input."""
+    averager = Averager()
+
+    all_in_contexts = set()
+    for cts in args.data.context_types:
+        if isinstance(cts, (str, ContextType)):
+            all_in_contexts.add(ContextType(cts) if isinstance(cts, str) else cts)
+        else:
+            all_in_contexts.update(cts["in"])
+
+    for batch_id, batch in enumerate(eval_batches, start=1):
+        if max_steps is not None and batch_id > max_steps:
+            break
+        batch = {k: v for k, v in batch.items() if k not in ("beatmap_idx",)}
+        loss, logits = eval_step(params, batch)
+        logits = np.asarray(logits)
+        preds = np.argmax(logits, axis=-1)
+        labels = np.asarray(batch["labels"])
+
+        if len(args.data.context_types) > 0:
+            for cts in args.data.context_types:
+                if isinstance(cts, (str, ContextType)):
+                    cts = {"out": [ContextType.MAP], "in": [ContextType(cts) if isinstance(cts, str) else cts]}
+                ids = np.asarray(batch["decoder_input_ids"])
+                ct_index = np.ones(ids.shape[0], bool)
+                for c in cts["in"]:
+                    ct_index &= (ids == vocab.context_sos[c]).any(axis=1)
+                for c in all_in_contexts - set(cts["in"]):
+                    ct_index &= ~(ids == vocab.context_sos[c]).any(axis=1)
+                if not ct_index.any():
+                    continue
+                stats = get_stats(float(loss), preds[ct_index], labels[ct_index], vocab, args)
+                stats = add_prefix("+".join(c.value for c in cts["in"]), stats)
+                averager.update(stats)
+        else:
+            averager.update(get_stats(float(loss), preds, labels, vocab, args))
+
+    return add_prefix("test", averager.average())
+
+
+class CheckpointManager:
+    """Orbax-backed checkpoints with total-limit retention + auto-resume
+    (reference: osuT5/train.py:33-46, train_utils.py:88-144)."""
+
+    def __init__(self, directory, total_limit: int = 2):
+        import orbax.checkpoint as ocp
+
+        self.directory = Path(directory).resolve()
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(max_to_keep=total_limit, create=True),
+        )
+
+    def save(self, step: int, state, extra: Optional[dict] = None) -> None:
+        import orbax.checkpoint as ocp
+
+        args = {"state": ocp.args.StandardSave(state)}
+        if extra:
+            args["extra"] = ocp.args.JsonSave(extra)
+        self.manager.save(step, args=ocp.args.Composite(**args))
+        self.manager.wait_until_finished()
+
+    def latest_step(self) -> Optional[int]:
+        return self.manager.latest_step()
+
+    def restore(self, state_template, step: Optional[int] = None):
+        import orbax.checkpoint as ocp
+
+        step = step if step is not None else self.manager.latest_step()
+        restored = self.manager.restore(
+            step, args=ocp.args.Composite(state=ocp.args.StandardRestore(state_template))
+        )
+        return restored["state"]
+
+
+class MetricsLogger:
+    """JSONL metrics sink + optional TensorBoard (reference: LoggingConfig)."""
+
+    def __init__(self, directory, log_with: str = "tensorboard"):
+        self.directory = Path(directory)
+        self.directory.mkdir(parents=True, exist_ok=True)
+        self.jsonl = open(self.directory / "metrics.jsonl", "a", encoding="utf-8")
+        self.tb = None
+        if log_with == "tensorboard":
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.tb = SummaryWriter(str(self.directory))
+            except ImportError:
+                pass
+
+    def log(self, stats: dict, step: int) -> None:
+        record = {"step": step, **{k: float(v) for k, v in stats.items()}}
+        self.jsonl.write(json.dumps(record) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            for k, v in record.items():
+                if k != "step":
+                    self.tb.add_scalar(k, v, step)
+
+    def close(self) -> None:
+        self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
+
+
+def train(
+    *,
+    train_step: Callable,
+    eval_step: Callable,
+    state,
+    train_batches: Optional[Iterable[dict]] = None,
+    train_batch_factory: Optional[Callable[[], Iterable[dict]]] = None,
+    eval_batch_factory: Optional[Callable[[], Iterable[dict]]] = None,
+    vocab: Vocabulary,
+    args,
+    logger: Optional[MetricsLogger] = None,
+    checkpoints: Optional[CheckpointManager] = None,
+    rng=None,
+    profile_dir: Optional[str] = None,
+    on_step: Optional[Callable[[int, dict], None]] = None,
+):
+    """The main loop (reference: train_utils.py:379-434). Runs until
+    optim.total_steps, with eval/log/ckpt hooks every configured interval."""
+    rng = jax.random.PRNGKey(args.seed) if rng is None else rng
+    averager = Averager()
+    last_log = time.time()
+    profiling = False
+
+    step = int(state.step)
+    while step < args.optim.total_steps:
+        # re-create the batch stream each epoch; a one-shot iterable would
+        # otherwise exhaust and spin forever below total_steps
+        epoch_batches = train_batch_factory() if train_batch_factory is not None else train_batches
+        made_progress = False
+        for batch in epoch_batches:
+            made_progress = True
+            if step >= args.optim.total_steps:
+                break
+
+            if profile_dir and args.profile.do_profile and step == args.profile.wait and not profiling:
+                jax.profiler.start_trace(profile_dir)
+                profiling = True
+
+            rng, sub = jax.random.split(rng)
+            state, metrics = train_step(state, batch, sub)
+            step = int(state.step)
+
+            averager.update({k: np.asarray(v) for k, v in metrics.items()})
+
+            if profiling and step >= args.profile.wait + args.profile.warmup + args.profile.active:
+                jax.profiler.stop_trace()
+                profiling = False
+                if args.profile.early_stop:
+                    return state
+
+            if logger is not None and step % args.logging.every_steps == 0:
+                stats = averager.average()
+                stats["seconds_per_step"] = (time.time() - last_log) / args.logging.every_steps
+                last_log = time.time()
+                logger.log(add_prefix("train", stats), step)
+
+            if eval_batch_factory is not None and step % args.eval.every_steps == 0:
+                eval_stats = eval_model(
+                    eval_step, state.params, eval_batch_factory(), vocab, args, max_steps=args.eval.steps
+                )
+                if logger is not None:
+                    logger.log(eval_stats, step)
+
+            if checkpoints is not None and step % args.checkpoint.every_steps == 0:
+                checkpoints.save(step, state)
+
+            if on_step is not None:
+                on_step(step, metrics)
+
+        if not made_progress:
+            break
+        if train_batch_factory is None:
+            # single-pass iterable: stop when it is exhausted
+            break
+
+    if checkpoints is not None:
+        checkpoints.save(step, state)
+    return state

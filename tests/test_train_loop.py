@@ -1,0 +1,190 @@
+"""End-to-end training loop test: tiny model on a fabricated ORS dataset with
+eval, checkpointing, and resume."""
+
+import json
+import wave
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mapperatorinator_tpu.config import compose, schema
+from mapperatorinator_tpu.models import Mapperatorinator, MapperatorinatorConfig
+from mapperatorinator_tpu.models.transformer import TransformerConfig
+from mapperatorinator_tpu.osu import BeatmapParser, build_vocabulary
+from mapperatorinator_tpu.osu.events import EventType
+from mapperatorinator_tpu.parallel import make_mesh, replicate, shard_batch
+from mapperatorinator_tpu.train import make_train_step
+from mapperatorinator_tpu.train.data import OrsDataset
+from mapperatorinator_tpu.train.data.batching import batch_iterator
+from mapperatorinator_tpu.train.loop import Averager, CheckpointManager, MetricsLogger, eval_model, train
+from mapperatorinator_tpu.train.optim import build_optimizer
+from mapperatorinator_tpu.train.step import init_train_state, make_eval_step
+
+from tests.test_data import OSU_TEMPLATE  # reuse the fixture template
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ors_train")
+    rng = np.random.default_rng(0)
+    sr = 16000
+    track = root / "Track00000"
+    (track / "beatmaps").mkdir(parents=True)
+    t = np.arange(sr * 6) / sr
+    x = (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype("<i2")
+    with wave.open(str(track / "audio.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    metadata = {"Beatmaps": {}}
+    for bm_i in range(2):
+        name = f"map{bm_i}"
+        objects = "\n".join(
+            f"{int(rng.integers(50, 450))},{int(rng.integers(50, 330))},{500 + k * 300},1,0,0:0:0:0:"
+            for k in range(12)
+        )
+        (track / "beatmaps" / f"{name}.osu").write_text(OSU_TEMPLATE.format(i=bm_i, bid=bm_i, objects=objects))
+        metadata["Beatmaps"][name] = {
+            "BeatmapId": bm_i,
+            "Index": bm_i,
+            "StandardStarRating": {"0": 3.0, "64": 4.0},
+            "RankedYear": 2018,
+        }
+    (track / "metadata.json").write_text(json.dumps(metadata))
+
+    args = compose("/root/repo/configs/train", "v32", schema_cls=schema.TrainConfig)
+    args.data.train_dataset_path = str(root)
+    args.data.train_dataset_start = 0
+    args.data.train_dataset_end = 1
+    args.data.test_dataset_path = str(root)
+    args.data.test_dataset_start = 0
+    args.data.test_dataset_end = 1
+    args.data.src_seq_len = 128
+    args.data.tgt_seq_len = 256
+    args.optim.batch_size = 8  # must divide the 8-device mesh
+    args.optim.grad_acc = 1
+    args.optim.total_steps = 4
+    args.optim.name = "adamwscale"
+    args.optim.base_lr = 1e-3
+    args.optim.warmup_steps = 0
+    args.optim.sustain_steps = 1
+    args.eval.every_steps = 2
+    args.eval.steps = 1
+    args.checkpoint.every_steps = 2
+    args.logging.every_steps = 1
+    args.logging.log_with = "none"
+    args.dataloader.balancer_buffer_size = 0
+
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vocab = build_vocabulary(args)
+    parser = BeatmapParser(args, vocab)
+
+    backbone = TransformerConfig(
+        vocab_size=vocab.vocab_size_out,
+        d_model=32,
+        encoder_layers=1,
+        decoder_layers=1,
+        encoder_heads=2,
+        decoder_heads=2,
+        encoder_ffn=64,
+        decoder_ffn=64,
+        max_source_positions=64,
+        max_target_positions=256,
+        num_mel_bins=32,
+        position_scheme="rope",
+        norm="rms",
+        conv_stem=True,
+    )
+    mcfg = MapperatorinatorConfig(
+        backbone=backbone,
+        vocab_size_in=vocab.vocab_size_in,
+        vocab_size_out=vocab.vocab_size_out,
+        n_mels=128,
+        spectrogram_log_scale=True,
+        f_min=20,
+        pad_mode="reflect",
+        project_encoder_input=True,
+        embed_decoder_input=True,
+        rhythm_token_start=vocab.event_start[EventType.TIME_SHIFT],
+        rhythm_token_end=vocab.event_end[EventType.TIME_SHIFT],
+    )
+    model = Mapperatorinator(mcfg)
+    return args, vocab, parser, model
+
+
+def test_full_training_loop_with_checkpoint_resume(setup, tmp_path):
+    args, vocab, parser, model = setup
+    hop = args.model.spectrogram.hop_length
+
+    params = model.init(
+        jax.random.PRNGKey(0),
+        frames=jnp.zeros((1, hop * (args.data.src_seq_len - 1)), jnp.float32),
+        decoder_input_ids=jnp.ones((1, 8), jnp.int32),
+    )
+    tx = build_optimizer(args)
+    state = init_train_state(params, tx)
+
+    mesh = make_mesh()
+    state = replicate(mesh, state)
+    base_step = make_train_step(model, tx, mesh=mesh)
+
+    def sharded_step(state, batch, rng):
+        return base_step(state, shard_batch(mesh, batch), rng)
+
+    def make_batches(test):
+        dataset = OrsDataset(args.data, parser, vocab, test=test)
+        return batch_iterator(dataset, args.optim.batch_size, drop_last=True)
+
+    eval_step = make_eval_step(model)
+    checkpoints = CheckpointManager(tmp_path / "ckpt", total_limit=2)
+    logger = MetricsLogger(tmp_path / "logs", log_with="none")
+
+    losses = []
+    state = train(
+        train_step=sharded_step,
+        eval_step=eval_step,
+        state=state,
+        train_batch_factory=lambda: make_batches(False),
+        eval_batch_factory=lambda: make_batches(True),
+        vocab=vocab,
+        args=args,
+        logger=logger,
+        checkpoints=checkpoints,
+        on_step=lambda step, m: losses.append(float(m["loss"])),
+    )
+    logger.close()
+
+    assert int(state.step) == 4
+    assert all(np.isfinite(losses))
+    # metrics jsonl written
+    lines = (tmp_path / "logs" / "metrics.jsonl").read_text().strip().splitlines()
+    assert len(lines) >= 4
+    record = json.loads(lines[-1])
+    assert "train/loss" in record or any("loss" in k for k in record)
+    # eval metrics present in some record
+    assert any("test/" in k for line in lines for k in json.loads(line))
+
+    # checkpoint saved and restorable
+    assert checkpoints.latest_step() == 4
+    tx2 = build_optimizer(args)
+    fresh = init_train_state(params, tx2)
+    restored = checkpoints.restore(fresh)
+    assert int(restored.step) == 4
+    l1 = jax.tree.leaves(state.params)
+    l2 = jax.tree.leaves(restored.params)
+    for a, b in zip(l1, l2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_averager():
+    a = Averager()
+    a.update({"x": np.array([1.0, 3.0])})
+    a.update({"x": np.array([5.0])})
+    out = a.average()
+    assert out["x"] == pytest.approx(3.0)

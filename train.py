@@ -1,0 +1,124 @@
+"""osuT5 training entry point (reference: ``osuT5/train.py:49-145``).
+
+    python train.py -cn v32 [overrides...]
+
+Composes the training config, builds the vocabulary/parser/dataset, the
+Mapperatorinator model, optimizer and mesh, auto-resumes from the latest
+checkpoint, and runs the training loop with eval/logging/checkpoint hooks.
+"""
+
+from __future__ import annotations
+
+import sys
+import warnings
+from pathlib import Path
+
+warnings.filterwarnings("ignore")
+
+REPO_ROOT = Path(__file__).resolve().parent
+sys.path.insert(0, str(REPO_ROOT))
+
+
+def build_model_and_data(args, mesh=None):
+    import jax
+    import jax.numpy as jnp
+
+    from mapperatorinator_tpu.models import Mapperatorinator
+    from mapperatorinator_tpu.models.mapperatorinator import build_config
+    from mapperatorinator_tpu.osu import BeatmapParser, build_vocabulary
+    from mapperatorinator_tpu.train.data import OrsDataset
+    from mapperatorinator_tpu.train.data.batching import batch_iterator
+
+    vocab = build_vocabulary(args)
+    parser = BeatmapParser(args, vocab)
+    config = build_config(args, vocab)
+    model = Mapperatorinator(config)
+
+    def make_batches(test: bool):
+        dataset = OrsDataset(args.data, parser, vocab, test=test)
+        return batch_iterator(
+            dataset,
+            args.optim.batch_size,
+            balancer_buffer_size=args.dataloader.balancer_buffer_size if not test else 0,
+            drop_last=args.dataloader.drop_last,
+        )
+
+    hop = args.model.spectrogram.hop_length
+    params = model.init(
+        jax.random.PRNGKey(args.seed),
+        frames=jnp.zeros((1, hop * (args.data.src_seq_len - 1)), jnp.float32),
+        decoder_input_ids=jnp.ones((1, 8), jnp.int32),
+    )
+    return model, params, vocab, make_batches
+
+
+def main(argv=None):
+    import jax
+
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.parallel import make_mesh, replicate, shard_batch
+    from mapperatorinator_tpu.train import make_train_step
+    from mapperatorinator_tpu.train.loop import CheckpointManager, MetricsLogger, train
+    from mapperatorinator_tpu.train.optim import build_optimizer
+    from mapperatorinator_tpu.train.step import init_train_state, make_eval_step
+
+    argv = sys.argv[1:] if argv is None else argv
+    config_name = "v32"
+    overrides = []
+    i = 0
+    while i < len(argv):
+        if argv[i] in ("-cn", "--config-name"):
+            config_name = argv[i + 1]
+            i += 2
+        else:
+            overrides.append(argv[i])
+            i += 1
+
+    args = compose(REPO_ROOT / "configs" / "train", config_name, overrides=overrides, schema_cls=schema.TrainConfig)
+
+    mesh = make_mesh(args.parallel)
+    n_devices = mesh.devices.size
+    print(f"Training on {n_devices} device(s): {jax.devices()[0].platform}")
+
+    model, params, vocab, make_batches = build_model_and_data(args)
+    tx = build_optimizer(args, num_processes=n_devices)
+    state = init_train_state(params, tx)
+
+    ckpt_dir = Path(args.checkpoint_path or "checkpoints").resolve()
+    checkpoints = CheckpointManager(ckpt_dir, total_limit=args.checkpoint.local_total_limit)
+    latest = checkpoints.latest_step()
+    if latest is not None:
+        print(f"Resuming from checkpoint step {latest}")
+        state = checkpoints.restore(state)
+
+    state = replicate(mesh, state)
+    base_step = make_train_step(model, tx, mesh=mesh, grad_acc=args.optim.grad_acc)
+
+    def sharded_step(state, batch, rng):
+        return base_step(state, shard_batch(mesh, batch), rng)
+
+    eval_step = make_eval_step(model)
+    logger = MetricsLogger("logs", log_with=args.logging.log_with)
+
+    # save the tokenizer alongside checkpoints (reference registers it for
+    # checkpointing; ours serializes once - it is deterministic given config)
+    vocab.save_pretrained(ckpt_dir)
+
+    state = train(
+        train_step=sharded_step,
+        eval_step=eval_step,
+        state=state,
+        train_batch_factory=lambda: make_batches(test=False),
+        eval_batch_factory=(lambda: make_batches(test=True)) if args.eval.every_steps > 0 else None,
+        vocab=vocab,
+        args=args,
+        logger=logger,
+        checkpoints=checkpoints,
+        profile_dir="logs/profile" if args.profile.do_profile else None,
+    )
+    logger.close()
+    return state
+
+
+if __name__ == "__main__":
+    main()
