@@ -329,6 +329,7 @@ class DiffusionOptimizerConfig:
     batch_size: int = 256
     total_steps: int = 400000
     warmup_steps: int = 10000
+    sustain_steps: int = 0
     lr_scheduler: str = "cosine"
     weight_decay: float = 0.0
     grad_acc: int = 2

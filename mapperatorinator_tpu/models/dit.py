@@ -23,6 +23,7 @@ DIT_SIZES = {
     "DiT-L": dict(depth=24, hidden_size=1024, num_heads=16),
     "DiT-B": dict(depth=12, hidden_size=768, num_heads=12),
     "DiT-S": dict(depth=12, hidden_size=384, num_heads=6),
+    "DiT-T": dict(depth=1, hidden_size=32, num_heads=2),  # test/smoke size
 }
 
 
