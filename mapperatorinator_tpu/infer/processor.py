@@ -43,12 +43,13 @@ def _softmax(x: np.ndarray) -> np.ndarray:
     return e / e.sum(axis=-1, keepdims=True)
 
 
-def calculate_difficulty(path=None, beatmap=None) -> Optional[float]:
-    """Star-rating calculation hook. The reference uses rosu-pp (Rust); the
-    native C++ difficulty calculator lands in a later round — until then
-    conditioning falls back to the 'unknown difficulty' token
-    (reference: data_utils.py:190-226)."""
-    return None
+def calculate_difficulty(path=None, content=None, speed: float = 1.0) -> Optional[float]:
+    """Star rating via the native C++ calculator (the reference uses rosu-pp;
+    reference: data_utils.py:190-226). None on failure -> conditioning falls
+    back to the 'unknown difficulty' token."""
+    from ..native import calculate_difficulty as native_calculate_difficulty
+
+    return native_calculate_difficulty(content=content, path=path, speed=speed)
 
 
 @dataclasses.dataclass
