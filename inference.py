@@ -380,15 +380,36 @@ def generate(
 
 
 def load_model(args):
-    """Load (engine, vocab) from args.model_path (native or HF-format dir)."""
+    """Load (engine, vocab) from args.model_path (native or HF-format dir),
+    preferring a gamemode=N fine-tune subfolder and merging a compatible LoRA
+    adapter (reference: model_utils.py:269-301, 399-406)."""
     from mapperatorinator_tpu.decode import DecodeEngine
     from mapperatorinator_tpu.models.io import load_checkpoint
+    from mapperatorinator_tpu.models.lora import (
+        get_model_checkpoint_subfolder,
+        load_lora,
+        merge_lora,
+        resolve_compatible_lora_path,
+        resolve_model_checkpoint_path,
+    )
 
-    model, params, vocab = load_checkpoint(args.model_path)
+    ckpt_path = resolve_model_checkpoint_path(args.model_path, gamemode=args.gamemode)
+    if str(ckpt_path) != str(args.model_path):
+        print(f"Using gamemode-specific model checkpoint: {ckpt_path}")
+    model, params, vocab = load_checkpoint(ckpt_path)
     if vocab is None:
         from mapperatorinator_tpu.osu import build_vocabulary
 
         vocab = build_vocabulary(args.train)
+
+    lora_path, lora_config = resolve_compatible_lora_path(
+        getattr(args, "lora_path", None), get_model_checkpoint_subfolder(ckpt_path)
+    )
+    if lora_path is not None:
+        lora_params, lora_config = load_lora(lora_path, params)
+        params = merge_lora(params, lora_params, alpha=lora_config.get("lora_alpha", 128.0))
+        print(f"Loaded LoRA weights from {lora_path}")
+
     engine = DecodeEngine(model, params, max_length=args.train.data.tgt_seq_len, pad_token_id=vocab.pad_id)
     return engine, vocab
 

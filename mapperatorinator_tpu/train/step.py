@@ -92,6 +92,68 @@ def make_train_step(
     return jax.jit(train_step, donate_argnums=(0,))
 
 
+def make_lora_train_step(
+    model,
+    tx: optax.GradientTransformation,
+    base_params,
+    alpha: float = 128.0,
+    mesh: Optional[Mesh] = None,
+    grad_acc: int = 1,
+):
+    """LoRA fine-tune step (reference: ``osuT5/train.py:93-99`` uses peft).
+
+    TPU-native formulation: the train state carries ONLY the (A, B) factors;
+    the forward merges them into the frozen base weights inside the loss, so
+    gradients flow to the factors alone and no model code changes. The merge
+    is one rank-r matmul per target — negligible next to the forward.
+    """
+    from ..models.lora import merge_lora
+
+    if grad_acc > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=grad_acc)
+
+    def loss_fn(lora_params, batch):
+        merged = merge_lora(base_params, lora_params, alpha=alpha)
+        _logits, loss = model.apply(
+            merged,
+            frames=batch["frames"],
+            decoder_input_ids=batch["decoder_input_ids"],
+            decoder_attention_mask=batch.get("decoder_attention_mask"),
+            labels=batch["labels"],
+            sample_weights=batch.get("sample_weights"),
+            deterministic=True,
+        )
+        return loss
+
+    def train_step(state: TrainState, batch, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_l2": optax.global_norm(grads)}
+        return TrainState(step=state.step + 1, params=new_params, opt_state=new_opt_state), metrics
+
+    if mesh is not None:
+        replicated = NamedSharding(mesh, P())
+        batch_sharding = NamedSharding(mesh, P("data"))
+
+        def jitted(state, batch, rng):
+            fn = jax.jit(
+                train_step,
+                in_shardings=(
+                    jax.tree.map(lambda _: replicated, state),
+                    jax.tree.map(lambda _: batch_sharding, batch),
+                    replicated,
+                ),
+                out_shardings=(jax.tree.map(lambda _: replicated, state), None),
+                donate_argnums=(0,),
+            )
+            return fn(state, batch, rng)
+
+        return jitted
+
+    return jax.jit(train_step, donate_argnums=(0,))
+
+
 def make_eval_step(model):
     """Jitted eval forward returning loss + logits (metrics computed host-side
     per context type, reference: train_utils.py:236-376)."""

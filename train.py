@@ -81,6 +81,34 @@ def main(argv=None):
     print(f"Training on {n_devices} device(s): {jax.devices()[0].platform}")
 
     model, params, vocab, make_batches = build_model_and_data(args)
+
+    if args.pretrained_path:
+        from mapperatorinator_tpu.models.io import load_checkpoint
+        from mapperatorinator_tpu.models.lora import resolve_model_checkpoint_path
+
+        pretrained = resolve_model_checkpoint_path(args.pretrained_path, gamemode=args.pretrained_gamemode)
+        print(f"Loading pretrained weights from {pretrained}")
+        model, params, loaded_vocab = load_checkpoint(pretrained)
+        if loaded_vocab is not None:
+            vocab = loaded_vocab
+
+    if args.enable_lora:
+        from mapperatorinator_tpu.models.lora import init_lora_params
+        from mapperatorinator_tpu.train.step import make_lora_train_step
+
+        if not args.pretrained_path:
+            raise ValueError("enable_lora requires pretrained_path (LoRA fine-tunes a base model).")
+        lora_cfg = dict(args.lora or {})
+        rank = int(lora_cfg.get("r", 64))
+        lora_alpha = float(lora_cfg.get("lora_alpha", 128))
+        base_params = params
+        params = init_lora_params(
+            jax.random.PRNGKey(args.seed), base_params, rank=rank,
+            target_modules=lora_cfg.get("target_modules"),
+        )
+        print(f"LoRA fine-tuning: rank={rank} alpha={lora_alpha} "
+              f"({sum(x.size for x in jax.tree.leaves(params))} trainable params)")
+
     tx = build_optimizer(args, num_processes=n_devices)
     state = init_train_state(params, tx)
 
@@ -92,12 +120,23 @@ def main(argv=None):
         state = checkpoints.restore(state)
 
     state = replicate(mesh, state)
-    base_step = make_train_step(model, tx, mesh=mesh, grad_acc=args.optim.grad_acc)
+    if args.enable_lora:
+        base_step = make_lora_train_step(
+            model, tx, replicate(mesh, base_params), alpha=lora_alpha,
+            mesh=mesh, grad_acc=args.optim.grad_acc,
+        )
+    else:
+        base_step = make_train_step(model, tx, mesh=mesh, grad_acc=args.optim.grad_acc)
 
     def sharded_step(state, batch, rng):
         return base_step(state, shard_batch(mesh, batch), rng)
 
     eval_step = make_eval_step(model)
+    if args.enable_lora:
+        from mapperatorinator_tpu.models.lora import merge_lora
+
+        _eval_base = eval_step
+        eval_step = lambda p, batch: _eval_base(merge_lora(base_params, p, alpha=lora_alpha), batch)  # noqa: E731
     logger = MetricsLogger("logs", log_with=args.logging.log_with)
 
     # save the tokenizer alongside checkpoints (reference registers it for
@@ -116,6 +155,16 @@ def main(argv=None):
         checkpoints=checkpoints,
         profile_dir="logs/profile" if args.profile.do_profile else None,
     )
+    if args.enable_lora:
+        from mapperatorinator_tpu.models.lora import save_lora
+
+        save_lora(
+            ckpt_dir / "lora", jax.device_get(state.params),
+            rank=rank, alpha=lora_alpha,
+            target_modules=lora_cfg.get("target_modules"),
+            ckpt_subfolders=args.lora_metadata.ckpt_subfolders,
+        )
+        print(f"Saved LoRA adapter to {ckpt_dir / 'lora'}")
     logger.close()
     return state
 
