@@ -86,6 +86,33 @@ def load_audio_file(
     return samples.astype(np.float32)
 
 
+def resample_and_speed(samples: np.ndarray, rate: int, sample_rate: int, speed: float = 1.0) -> np.ndarray:
+    """Resample decoded samples to ``sample_rate`` applying the frame-rate
+    speed hack (see :func:`load_audio_file`)."""
+    effective_rate = rate * speed
+    if effective_rate != sample_rate:
+        up, down = _resample_ratio(sample_rate, effective_rate)
+        samples = resample_poly(samples, up, down)
+    return samples.astype(np.float32)
+
+
+def decode_audio_bytes(raw: bytes, sample_rate: int, speed: float = 1.0) -> np.ndarray:
+    """Decode an in-memory audio container (opus/mp3/ogg/wav bytes) to mono
+    float32 at ``sample_rate`` via a temp file (web-dataset rows embed audio
+    as bytes; reference decodes via the datasets Audio feature)."""
+    import tempfile
+
+    with tempfile.NamedTemporaryFile(suffix=".audio") as tmp:
+        tmp.write(raw)
+        tmp.flush()
+        path = Path(tmp.name)
+        try:
+            samples, rate = _load_wav(path)
+        except Exception:
+            samples, rate = _load_ffmpeg(path, sample_rate)
+    return resample_and_speed(samples, rate, sample_rate, speed)
+
+
 def _resample_ratio(target: float, source: float) -> tuple[int, int]:
     """Small integer up/down factors for resample_poly."""
     from fractions import Fraction

@@ -144,6 +144,7 @@ class DataConfig:
     dt_augment_range: list = field(default_factory=lambda: [1.25, 1.5])
     dt_augment_sqrt: bool = False
     flip_horizontal_prob: float = 0.0
+    augment_flip: bool = False  # classifier-style 50/50 flip augmentation
     flip_vertical_prob: float = 0.0
     types_first: bool = True
     add_kiai: bool = True
@@ -360,6 +361,96 @@ class DiffusionTrainConfig:
     data: DiffusionDataConfig = field(default_factory=DiffusionDataConfig)
     dataloader: DiffusionDataloaderConfig = field(default_factory=DiffusionDataloaderConfig)
     optim: DiffusionOptimizerConfig = field(default_factory=DiffusionOptimizerConfig)
+    checkpoint: DiffusionCheckpointConfig = field(default_factory=DiffusionCheckpointConfig)
+    logging: DiffusionLoggingConfig = field(default_factory=DiffusionLoggingConfig)
+    hydra: Any = None
+
+
+# ---------------------------------------------------------------------------
+# Classifier config (reference: classifier/configs/train.yaml)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class ClassifierModelConfig:
+    name: str = "whisper_base"
+    d_model: int = 512
+    encoder_layers: int = 6
+    decoder_layers: int = 6
+    encoder_heads: int = 8
+    decoder_heads: int = 8
+    encoder_ffn: int = 2048
+    decoder_ffn: int = 2048
+    classifier_proj_size: int = 256
+    input_features: bool = False
+    # vocab-construction flags (the classifier labels need the mapper tables)
+    do_mapper_embed: bool = True
+    do_style_embed: bool = False
+    spectrogram: SpectrogramConfig = field(default_factory=SpectrogramConfig)
+
+
+@dataclass
+class ClassifierConfig:
+    compile: bool = True
+    device: str = "tpu"
+    precision: str = "bf16"
+    seed: int = 42
+    checkpoint_path: str = ""
+    pretrained_path: str = ""
+    model_path: str = ""  # classify entry: trained model to load
+    beatmap_path: str = ""  # classify entry: beatmap to classify
+    audio_path: str = ""  # classify entry: audio (defaults to beatmap's)
+    mappers_path: str = ""  # classify entry: beatmap_users.json for usernames
+    data: DataConfig = field(default_factory=DataConfig)
+    model: ClassifierModelConfig = field(default_factory=ClassifierModelConfig)
+    dataloader: DataloaderConfig = field(default_factory=DataloaderConfig)
+    optim: OptimizerConfig = field(default_factory=OptimizerConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
+    checkpoint: CheckpointConfig = field(default_factory=CheckpointConfig)
+    logging: LoggingConfig = field(default_factory=LoggingConfig)
+    hydra: Any = None
+
+
+# ---------------------------------------------------------------------------
+# Rhythm-complexion config (reference: rcomplexion/configs/train.yaml)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class RcomplexionDataConfig:
+    train_dataset_path: str = "/root/ORS16291"
+    train_dataset_start: int = 0
+    train_dataset_end: int = 16200
+    test_dataset_path: str = "/root/ORS16291"
+    test_dataset_start: int = 16200
+    test_dataset_end: int = 16291
+    src_seq_len: int = 32
+    cycle_length: int = 32
+    min_difficulty: float = 0
+    time_resolution: float = 0.1  # steps per millisecond
+    min_time: float = 0
+    max_time: float = 1000
+    sample_weights: str = ""
+
+
+@dataclass
+class RcomplexionModelConfig:
+    hidden_size: int = 128
+
+
+@dataclass
+class RcomplexionConfig:
+    compile: bool = True
+    device: str = "tpu"
+    precision: str = "bf16"
+    seed: int = 42
+    checkpoint_path: str = ""
+    model_path: str = ""  # inference: trained model to load
+    data: RcomplexionDataConfig = field(default_factory=RcomplexionDataConfig)
+    model: RcomplexionModelConfig = field(default_factory=RcomplexionModelConfig)
+    dataloader: DiffusionDataloaderConfig = field(default_factory=DiffusionDataloaderConfig)
+    optim: DiffusionOptimizerConfig = field(default_factory=DiffusionOptimizerConfig)
+    eval: EvalConfig = field(default_factory=EvalConfig)
     checkpoint: DiffusionCheckpointConfig = field(default_factory=DiffusionCheckpointConfig)
     logging: DiffusionLoggingConfig = field(default_factory=DiffusionLoggingConfig)
     hydra: Any = None

@@ -57,6 +57,7 @@ class OsuClassifier(nn.Module):
         self,
         frames: jnp.ndarray,
         decoder_input_ids: jnp.ndarray,
+        decoder_attention_mask: Optional[jnp.ndarray] = None,
         labels: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
     ):
@@ -65,8 +66,13 @@ class OsuClassifier(nn.Module):
         inputs_embeds = self.encoder_embedder(mel)
         decoder_embeds = self.decoder_embedder(decoder_input_ids)
 
+        self_mask = None
+        if decoder_attention_mask is not None:
+            self_mask = decoder_attention_mask[:, None, None, :].astype(bool)
         encoder_states = self.transformer.encoder(inputs_embeds, deterministic=deterministic)
-        hidden, _ = self.transformer.decoder(decoder_embeds, encoder_states, deterministic=deterministic)
+        hidden, _ = self.transformer.decoder(
+            decoder_embeds, encoder_states, self_mask=self_mask, deterministic=deterministic
+        )
 
         projected = self.projector(hidden)
         pooled = projected.mean(axis=1)

@@ -26,7 +26,7 @@ def build_model_and_data(args, mesh=None):
     from mapperatorinator_tpu.models import Mapperatorinator
     from mapperatorinator_tpu.models.mapperatorinator import build_config
     from mapperatorinator_tpu.osu import BeatmapParser, build_vocabulary
-    from mapperatorinator_tpu.train.data import OrsDataset
+    from mapperatorinator_tpu.train.data import build_dataset
     from mapperatorinator_tpu.train.data.batching import batch_iterator
 
     vocab = build_vocabulary(args)
@@ -35,7 +35,7 @@ def build_model_and_data(args, mesh=None):
     model = Mapperatorinator(config)
 
     def make_batches(test: bool):
-        dataset = OrsDataset(args.data, parser, vocab, test=test)
+        dataset = build_dataset(args.data, parser, vocab, test=test)
         return batch_iterator(
             dataset,
             args.optim.batch_size,
