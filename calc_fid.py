@@ -65,6 +65,9 @@ def generate_beatmaps(beatmap_paths, args, engine, vocab, logger=None) -> dict:
         for field in ("model_path", "seed", "cfg_scale", "temperature", "top_p", "parallel"):
             setattr(i_args, field, getattr(args.inference, field))
         i_args.beatmap_path = str(path)
+        audio_candidates = list(path.parents[1].glob("audio.*"))  # ORS layout
+        if audio_candidates:
+            i_args.audio_path = str(audio_candidates[0])
         i_args.output_path = str(Path(args.dataset_path) / "generated")
         i_args.train = args.inference.train
         compile_args(i_args, vocab, verbose=False)
@@ -111,15 +114,104 @@ def bpm_stats(pairs: list[tuple[Path, Path]]) -> dict:
     return {"bpm_mse": float(np.mean(errs)) if errs else float("nan")}
 
 
-def classifier_fid(pairs, classifier_bundle, vocab, args) -> dict:
-    """FID via OsuClassifier feature vectors; requires a trained classifier
-    checkpoint (reference: calc_fid.py:579-713)."""
+def load_classifier(args):
+    """Load a classifier bundle exported by classifier_train.py: params +
+    classifier_config.json + tokenizer.json. Returns None (with a warning)
+    when the checkpoint is missing (reference: calc_fid.py:579-601)."""
+    path = Path(args.classifier_ckpt)
+    if not (path / "params.msgpack").exists():
+        print(f"classifier checkpoint {path} not found; skipping FID")
+        return None
+
+    import types
+
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from classifier_train import build_classifier
+    from mapperatorinator_tpu.config.schema import ClassifierModelConfig, SpectrogramConfig
+    from mapperatorinator_tpu.osu.vocab import Vocabulary
+
+    from mapperatorinator_tpu.config.schema import DataConfig
+
+    with open(path / "classifier_config.json", encoding="utf-8") as f:
+        saved = json.load(f)
+    spect = SpectrogramConfig(**saved["model"].pop("spectrogram"))
+    model_cfg = ClassifierModelConfig(**saved["model"], spectrogram=spect)
+    data_cfg = DataConfig()
+    for key, value in saved["data"].items():
+        if key != "context_types" and hasattr(data_cfg, key):
+            setattr(data_cfg, key, value)
+    clf_args = types.SimpleNamespace(model=model_cfg, data=data_cfg)
+
+    clf_vocab = Vocabulary.from_pretrained(path)
+    model = build_classifier(clf_args, clf_vocab)
+    hop = model_cfg.spectrogram.hop_length
+    template = model.init(
+        jax.random.PRNGKey(0),
+        frames=jnp.zeros((1, hop * (clf_args.data.src_seq_len - 1)), jnp.float32),
+        decoder_input_ids=jnp.ones((1, 8), jnp.int32),
+    )
+    with open(path / "params.msgpack", "rb") as f:
+        params = flax.serialization.from_bytes(template, f.read())
+    return model, params, clf_args, clf_vocab
+
+
+def extract_features(beatmap_path: Path, audio, classifier_bundle, batch_size: int) -> np.ndarray:
+    """Mean-pooled projector features for every audio window of a beatmap
+    (reference: calc_fid.py:620-680)."""
+    import jax.numpy as jnp
+
+    from classifier_classify import create_example
+    from mapperatorinator_tpu.osu.parsing import BeatmapParser
+
+    model, params, clf_args, clf_vocab = classifier_bundle
+    parser = BeatmapParser(clf_args, clf_vocab)
+    beatmap = Beatmap.from_path(beatmap_path)
+    events, event_times = parser.parse(beatmap, 1.0, None, (False, False))
+
+    sr = clf_args.model.spectrogram.sample_rate
+    samples_per_seq = (clf_args.data.src_seq_len - 1) * clf_args.model.spectrogram.hop_length
+    seq_s = samples_per_seq / sr
+    times = np.arange(0, max(len(audio) / sr - seq_s, seq_s / 2), seq_s)
+
+    examples = [create_example(events, event_times, audio, float(t), clf_args, clf_vocab) for t in times]
+    features = []
+    for start in range(0, len(examples), batch_size):
+        chunk = examples[start : start + batch_size]
+        n = len(chunk)
+        batch = {k: np.concatenate([e[k] for e in chunk]) for k in chunk[0]}
+        if n < batch_size:  # pad so compiles are reused
+            pad = batch_size - n
+            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)]) for k, v in batch.items()}
+        out = model.apply(params, jnp.asarray(batch["frames"]), jnp.asarray(batch["decoder_input_ids"]),
+                          decoder_attention_mask=jnp.asarray(batch["decoder_attention_mask"]))
+        features.append(np.asarray(out["feature_vector"])[:n])
+    return np.concatenate(features) if features else np.zeros((0, 1))
+
+
+def classifier_fid(pairs, classifier_bundle, args) -> dict:
+    """FID between real and generated maps' classifier feature distributions
+    (reference: calc_fid.py:579-713)."""
     if classifier_bundle is None:
         return {}
-    model, params, clf_vocab = classifier_bundle
-    # feature extraction is a straight batched forward; omitted when no
-    # checkpoint is available offline
-    raise NotImplementedError("classifier feature extraction requires a trained checkpoint")
+    from mapperatorinator_tpu.audio.io import load_audio_file
+
+    sr = classifier_bundle[2].model.spectrogram.sample_rate
+    real_feats, gen_feats = [], []
+    for real_path, gen_path in pairs:
+        audio_candidates = list(real_path.parents[1].glob("audio.*"))
+        if not audio_candidates:
+            continue
+        audio = load_audio_file(audio_candidates[0], sr)
+        real_feats.append(extract_features(real_path, audio, classifier_bundle, args.classifier_batch_size))
+        gen_feats.append(extract_features(gen_path, audio, classifier_bundle, args.classifier_batch_size))
+    if not real_feats:
+        return {}
+    real = np.concatenate(real_feats)
+    gen = np.concatenate(gen_feats)
+    return {"fid": compute_fid_from_features(real, gen)}
 
 
 def main(argv=None):
@@ -146,6 +238,9 @@ def main(argv=None):
         results.update(rhythm_report(pairs))
     if args.extra_stats and pairs:
         results.update(bpm_stats(pairs))
+    if args.fid and pairs:
+        classifier_bundle = load_classifier(args)
+        results.update(classifier_fid(pairs, classifier_bundle, args))
 
     print(json.dumps(results, indent=2))
     return results

@@ -156,12 +156,26 @@ def main(argv=None):
             break
     checkpoints.save(step, {"params": params})
 
+    import dataclasses
+    import json
+
     import flax
 
     final_dir = Path(args.checkpoint_path or "classifier_checkpoints") / "final"
     final_dir.mkdir(parents=True, exist_ok=True)
     with open(final_dir / "params.msgpack", "wb") as f:
         f.write(flax.serialization.to_bytes(params))
+    # self-contained bundle: config + tokenizer so calc_fid can rebuild
+    with open(final_dir / "classifier_config.json", "w", encoding="utf-8") as f:
+        json.dump(
+            {
+                "model": dataclasses.asdict(args.model),
+                "data": dataclasses.asdict(args.data),
+            },
+            f,
+            default=lambda o: getattr(o, "value", str(o)),
+        )
+    vocab.save_pretrained(final_dir)
     print(f"Saved final model to {final_dir}")
     logger.close()
     return params

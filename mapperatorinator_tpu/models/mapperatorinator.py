@@ -36,6 +36,12 @@ WHISPER_DIMS = {
     "medium": dict(d_model=1024, layers=24, heads=16, ffn=4096),
 }
 
+# t5 v1.1 sizes (HF google/t5-v1_1-*): d_kv stays 64 while heads*64 != d_model
+T5_DIMS = {
+    "small": dict(d_model=512, layers=8, heads=6, ffn=1024, head_dim=64),
+    "base": dict(d_model=768, layers=12, heads=12, ffn=2048, head_dim=64),
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class MapperatorinatorConfig:
@@ -83,22 +89,44 @@ def _whisper_size(name: str) -> dict:
     raise ValueError(f"unknown whisper size in backbone name: {name}")
 
 
+def _t5_size(name: str) -> dict:
+    for key, dims in T5_DIMS.items():
+        if name.endswith(key):
+            return dims
+    raise ValueError(f"unknown t5 size in backbone name: {name}")
+
+
 def build_config(train_args, vocab) -> MapperatorinatorConfig:
     """Materialize a MapperatorinatorConfig from a TrainConfig + Vocabulary —
     the reference's config plumbing (configuration_mapperatorinator.py:66-135)
     without hub lookups."""
     m = train_args.model
     name = m.name
-    dims = _whisper_size(name)
     overwrite = dict(m.overwrite or {})
     tie = overwrite.pop("tie_word_embeddings", True)
     dropout = overwrite.pop("dropout", 0.0)
 
-    if name.startswith("OliBomby/varwhisper"):
+    # backbone family dispatch (reference: modeling_mapperatorinator.py:16-58)
+    head_dim_override = None
+    attention_scale, attention_bias, ffn_gated = True, m.attention_bias, False
+    conv_stem = True
+    if name.startswith("google/t5"):
+        dims = _t5_size(name)
+        head_dim_override = dims["head_dim"]
+        position_scheme, norm = "t5_relpos", "rms"
+        attention_scale, attention_bias, ffn_gated = False, False, True
+        conv_stem = False
+    elif name.startswith("OliBomby/varwhisper"):
+        dims = _whisper_size(name)
         position_scheme, norm = "rope", "rms"
+    elif name.startswith("Tiger14n/ropewhisper"):
+        dims = _whisper_size(name)
+        position_scheme, norm = "rope", "layer"
     elif "whisper" in name:
+        dims = _whisper_size(name)
         position_scheme, norm = "whisper_abs", "layer"
     else:
+        dims = _whisper_size(name)
         position_scheme, norm = "rope", "rms"
 
     backbone = TransformerConfig(
@@ -120,8 +148,11 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
         global_attn_every_n_layers=m.global_attn_every_n_layers,
         local_attention=m.local_attention,
         norm=norm,
-        attention_bias=m.attention_bias,
-        conv_stem=True,
+        attention_bias=attention_bias,
+        attention_scale=attention_scale,
+        ffn_gated=ffn_gated,
+        head_dim_override=head_dim_override,
+        conv_stem=conv_stem,
         tie_word_embeddings=tie,
         pad_token_id=0,
     )

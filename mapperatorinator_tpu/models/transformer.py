@@ -44,16 +44,21 @@ class TransformerConfig:
     num_mel_bins: int = 512  # encoder conv-stem input feature dim
 
     # positional scheme
-    position_scheme: str = "rope"  # "rope" | "whisper_abs" | "none"
+    position_scheme: str = "rope"  # "rope" | "whisper_abs" | "t5_relpos" | "none"
     rope_global_theta: float = 10000.0
     rope_local_theta: float = 10000.0
     # every n-th layer is global; others use a sliding window of local_attention
     global_attn_every_n_layers: int = 1
     local_attention: int = 128
+    # t5_relpos bucketing (HF T5 defaults)
+    relative_attention_num_buckets: int = 32
+    relative_attention_max_distance: int = 128
 
     # structure
     norm: str = "rms"  # "rms" | "layer"
     attention_bias: bool = True
+    attention_scale: bool = True  # T5 omits the 1/sqrt(d) scale
+    ffn_gated: bool = False  # T5 v1.1 gated activation: act(wi_0) * wi_1
     conv_stem: bool = True  # whisper conv1(k3s1) + conv2(k3s2) front
     scale_embedding: bool = False
     tie_word_embeddings: bool = False
@@ -62,8 +67,13 @@ class TransformerConfig:
     dtype: Dtype = jnp.float32  # compute dtype
     param_dtype: Dtype = jnp.float32
 
+    # T5 decouples per-head width (d_kv) from d_model / num_heads
+    head_dim_override: Optional[int] = None
+
     @property
     def head_dim(self) -> int:
+        if self.head_dim_override is not None:
+            return self.head_dim_override
         return self.d_model // self.decoder_heads
 
 
@@ -112,14 +122,66 @@ def _attend(
     v: jnp.ndarray,
     mask: Optional[jnp.ndarray],
     dtype: Dtype,
+    bias: Optional[jnp.ndarray] = None,
+    scaled: bool = True,
 ) -> jnp.ndarray:
     """(B, Tq, H, D) x (B, Tk, H, D) -> (B, Tq, H, D); softmax in fp32."""
-    scale = q.shape[-1] ** -0.5
+    scale = q.shape[-1] ** -0.5 if scaled else 1.0
     logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
     if mask is not None:
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def relative_position_bucket(
+    relative_position: jnp.ndarray,
+    bidirectional: bool,
+    num_buckets: int = 32,
+    max_distance: int = 128,
+) -> jnp.ndarray:
+    """T5 relative position bucketing (log-spaced beyond max_exact)."""
+    ret = jnp.zeros_like(relative_position)
+    n = -relative_position
+    if bidirectional:
+        num_buckets //= 2
+        ret = ret + (n < 0).astype(jnp.int32) * num_buckets
+        n = jnp.abs(n)
+    else:
+        n = jnp.maximum(n, 0)
+    max_exact = num_buckets // 2
+    is_small = n < max_exact
+    val_if_large = max_exact + (
+        jnp.log(n.astype(jnp.float32) / max_exact + 1e-6)
+        / math.log(max_distance / max_exact)
+        * (num_buckets - max_exact)
+    ).astype(jnp.int32)
+    val_if_large = jnp.minimum(val_if_large, num_buckets - 1)
+    return ret + jnp.where(is_small, n, val_if_large)
+
+
+class RelativePositionBias(nn.Module):
+    """Per-stack shared T5 position bias: (Tq, Tk) -> (1, H, Tq, Tk)."""
+
+    config: TransformerConfig
+    num_heads: int
+    bidirectional: bool
+
+    @nn.compact
+    def __call__(self, q_pos: jnp.ndarray, k_pos: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        rel = k_pos[None, :] - q_pos[:, None]  # (Tq, Tk)
+        buckets = relative_position_bucket(
+            rel, self.bidirectional,
+            cfg.relative_attention_num_buckets, cfg.relative_attention_max_distance,
+        )
+        table = nn.Embed(
+            cfg.relative_attention_num_buckets, self.num_heads,
+            dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="embedding",
+        )
+        return table(buckets).transpose(2, 0, 1)[None]  # (1, H, Tq, Tk)
 
 
 class Attention(nn.Module):
@@ -134,17 +196,17 @@ class Attention(nn.Module):
 
     def setup(self):
         cfg = self.config
-        d = cfg.d_model
+        inner = self.num_heads * (cfg.head_dim_override or cfg.d_model // self.num_heads)
         bias = cfg.attention_bias
         dense = lambda feats, name: nn.Dense(
             feats, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name
         )
         if self.is_cross:
-            self.wq = dense(d, "wq")
-            self.wkv = dense(2 * d, "wkv")
+            self.wq = dense(inner, "wq")
+            self.wkv = dense(2 * inner, "wkv")
         else:
-            self.wqkv = dense(3 * d, "wqkv")
-        self.wo = dense(d, "wo")
+            self.wqkv = dense(3 * inner, "wqkv")
+        self.wo = dense(cfg.d_model, "wo")
 
     @property
     def is_local(self) -> bool:
@@ -166,6 +228,7 @@ class Attention(nn.Module):
         attn_mask: Optional[jnp.ndarray] = None,
         cache: Optional[dict] = None,
         cache_index: Optional[jnp.ndarray] = None,
+        pos_bias: Optional[jnp.ndarray] = None,
     ):
         """Returns (out, new_cache). ``cache`` holds preallocated k/v of shape
         (B, max_len, H, D); ``cache_index`` is the write position for
@@ -218,7 +281,7 @@ class Attention(nn.Module):
                     band = sliding_window_mask(pos[0], pos[0], cfg.local_attention)[None, None]
                     mask = band if mask is None else (mask & band)
 
-        out = _attend(q, k, v, mask, cfg.dtype)
+        out = _attend(q, k, v, mask, cfg.dtype, bias=pos_bias, scaled=cfg.attention_scale)
         out = out.reshape(b, t, -1)
         return self.wo(out), new_cache
 
@@ -233,6 +296,8 @@ class FeedForward(nn.Module):
         act = {"gelu": nn.gelu, "relu": nn.relu, "silu": nn.silu}[cfg.activation]
         h = nn.Dense(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
         h = act(h)
+        if cfg.ffn_gated:  # T5 v1.1 gated activation
+            h = h * nn.Dense(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1_gate")(x)
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
         h = nn.Dense(cfg.d_model, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(h)
         return h
@@ -249,8 +314,10 @@ class EncoderLayer(nn.Module):
         self.final_norm = Norm(cfg, name="final_norm")
         self.ffn = FeedForward(cfg, cfg.encoder_ffn, name="ffn")
 
-    def __call__(self, x, positions, attn_mask=None, deterministic: bool = True):
-        attn_out, _ = self.self_attn(self.self_attn_norm(x), positions=positions, attn_mask=attn_mask)
+    def __call__(self, x, positions, attn_mask=None, pos_bias=None, deterministic: bool = True):
+        attn_out, _ = self.self_attn(
+            self.self_attn_norm(x), positions=positions, attn_mask=attn_mask, pos_bias=pos_bias
+        )
         x = x + attn_out
         x = x + self.ffn(self.final_norm(x), deterministic=deterministic)
         return x
@@ -278,6 +345,7 @@ class DecoderLayer(nn.Module):
         cross_mask=None,
         cache: Optional[dict] = None,
         cache_index=None,
+        pos_bias=None,
         deterministic: bool = True,
     ):
         self_cache = cache["self"] if cache is not None else None
@@ -289,6 +357,7 @@ class DecoderLayer(nn.Module):
             attn_mask=self_mask,
             cache=self_cache,
             cache_index=cache_index,
+            pos_bias=pos_bias,
         )
         x = x + attn_out
 
@@ -334,8 +403,16 @@ class Encoder(nn.Module):
         if cfg.position_scheme == "whisper_abs":
             x = x + whisper_sinusoids(cfg.max_source_positions, cfg.d_model)[None, :t].astype(cfg.dtype)
 
+        pos_bias = None
+        if cfg.position_scheme == "t5_relpos":
+            # bias lives on the first layer and is shared (HF T5 semantics)
+            pos_bias = RelativePositionBias(cfg, cfg.encoder_heads, bidirectional=True,
+                                            name="rel_bias")(jnp.arange(t), jnp.arange(t))
+
         for i in range(cfg.encoder_layers):
-            x = EncoderLayer(cfg, layer_idx=i, name=f"layers_{i}")(x, positions, deterministic=deterministic)
+            x = EncoderLayer(cfg, layer_idx=i, name=f"layers_{i}")(
+                x, positions, pos_bias=pos_bias, deterministic=deterministic
+            )
         return Norm(cfg, name="norm")(x)
 
 
@@ -351,6 +428,8 @@ class Decoder(nn.Module):
             self.embed_positions = nn.Embed(
                 cfg.max_target_positions, cfg.d_model, dtype=cfg.dtype, param_dtype=cfg.param_dtype
             )
+        if cfg.position_scheme == "t5_relpos":
+            self.rel_bias = RelativePositionBias(cfg, cfg.decoder_heads, bidirectional=False, name="rel_bias")
         self.layers = [
             DecoderLayer(cfg, layer_idx=i, name=f"layers_{i}") for i in range(cfg.decoder_layers)
         ]
@@ -376,6 +455,12 @@ class Decoder(nn.Module):
             positions = jnp.arange(t)[None].repeat(b, 0)
         if cfg.position_scheme == "whisper_abs":
             x = x + self.embed_positions(positions)
+
+        pos_bias = None
+        if cfg.position_scheme == "t5_relpos":
+            # keys span the whole cache during decode, else the current block
+            k_len = cache[0]["self"]["k"].shape[1] if cache is not None else t
+            pos_bias = self.rel_bias(positions[0], jnp.arange(k_len))
 
         new_caches = []
         for i, layer in enumerate(self.layers):

@@ -167,3 +167,110 @@ def test_conditioning_embedders():
     # different difficulty -> different logits
     logits2, _ = model.apply(params, frames=samples, decoder_input_ids=ids, difficulty=jnp.array([1.0, 9.0]))
     assert not np.allclose(np.asarray(logits), np.asarray(logits2))
+
+
+@pytest.mark.parametrize("recipe", ["v28", "v30", "v32"])
+def test_backbone_families_forward(recipe):
+    """Every published recipe's backbone family builds and runs a forward
+    (whisper_abs/layer, rope/layer, rope/rms)."""
+    import dataclasses
+    import warnings
+
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.models.mapperatorinator import build_config
+    from mapperatorinator_tpu.osu import build_vocabulary
+
+    args = compose("/root/repo/configs/train", recipe, schema_cls=schema.TrainConfig)
+    args.data.dataset_type = "none"
+    args.data.mappers_path = ""
+    args.data.tags_metadata_path = ""
+    args.data.src_seq_len = 64
+    args.data.tgt_seq_len = 64
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vocab = build_vocabulary(args)
+    cfg = build_config(args, vocab)
+    bb = dataclasses.replace(
+        cfg.backbone, d_model=32, encoder_layers=1, decoder_layers=1,
+        encoder_heads=2, decoder_heads=2, encoder_ffn=64, decoder_ffn=64,
+    )
+    cfg = dataclasses.replace(cfg, backbone=bb)
+    expected = {"v28": ("whisper_abs", "layer"), "v30": ("rope", "layer"), "v32": ("rope", "rms")}
+    assert (cfg.backbone.position_scheme, cfg.backbone.norm) == expected[recipe]
+
+    model = Mapperatorinator(cfg)
+    hop = args.model.spectrogram.hop_length
+    cond = {}
+    if cfg.do_difficulty_embed:
+        cond = dict(
+            difficulty=jnp.full((1,), 4.5),
+            mapper_idx=jnp.zeros((1,), jnp.int32),
+            song_position=jnp.zeros((1, 2)),
+        )
+    params = model.init(
+        jax.random.PRNGKey(0),
+        frames=jnp.zeros((1, hop * 63), jnp.float32),
+        decoder_input_ids=jnp.ones((1, 8), jnp.int32),
+        **cond,
+    )
+    logits, loss = model.apply(
+        params,
+        frames=jnp.zeros((1, hop * 63), jnp.float32),
+        decoder_input_ids=jnp.ones((1, 8), jnp.int32),
+        labels=jnp.ones((1, 8), jnp.int32),
+        **cond,
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_t5_relpos_cached_decode_matches_full():
+    """T5 backbone: relative-position-bias stepwise decode == full forward."""
+    cfg = TransformerConfig(
+        vocab_size=64, d_model=32, encoder_layers=1, decoder_layers=2,
+        encoder_heads=2, decoder_heads=2, encoder_ffn=64, decoder_ffn=64,
+        max_source_positions=16, max_target_positions=32, num_mel_bins=32,
+        position_scheme="t5_relpos", norm="rms", attention_bias=False,
+        attention_scale=False, ffn_gated=True, head_dim_override=24, conv_stem=False,
+    )
+    model = OsuTransformer(cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(1, 16, 32)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 60, (1, 12)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), features=feats, decoder_input_ids=ids)
+    logits_full = model.apply(params, features=feats, decoder_input_ids=ids)
+
+    enc = model.apply(params, feats, method=lambda m, f: m.encoder(f))
+    cache = model.apply(params, 1, 20, enc, method=lambda m, b, l, e: m.init_cache(b, l, e))
+    outs = []
+    for t in range(12):
+        emb = model.apply(params, ids[:, t : t + 1], method=lambda m, i: m.decoder.embed_tokens(i))
+        logits, cache = model.apply(
+            params, emb, cache, t,
+            method=lambda m, e, c, i: m.decode_step(e, c, i, positions=jnp.full((1, 1), i)),
+        )
+        outs.append(logits[:, 0])
+    step = jnp.stack(outs, 1)
+    np.testing.assert_allclose(np.asarray(step), np.asarray(logits_full), atol=2e-4)
+
+
+def test_t5_build_config():
+    import warnings
+
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.models.mapperatorinator import build_config
+    from mapperatorinator_tpu.osu import build_vocabulary
+
+    args = compose("/root/repo/configs/train", "v32", schema_cls=schema.TrainConfig)
+    args.model.name = "google/t5-v1_1-small"
+    args.data.dataset_type = "none"
+    args.data.mappers_path = ""
+    args.data.tags_metadata_path = ""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vocab = build_vocabulary(args)
+    cfg = build_config(args, vocab)
+    bb = cfg.backbone
+    assert bb.position_scheme == "t5_relpos"
+    assert bb.head_dim == 64 and bb.decoder_heads == 6 and bb.d_model == 512
+    assert bb.ffn_gated and not bb.attention_scale and not bb.attention_bias
+    assert not bb.conv_stem

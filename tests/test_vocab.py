@@ -195,3 +195,28 @@ def test_vectorized_decode():
     for token_id in range(vocab.offset, vocab.vocab_size_in):
         ev = vocab.decode(token_id)
         assert v[token_id] == ev.value
+
+
+@pytest.mark.parametrize("name", ["v28", "v29", "v30", "v31", "v32"])
+def test_own_recipes_match_reference_recipes(name):
+    """Our configs/train/vNN.yaml must produce the identical vocab layout as
+    composing the reference's same-named recipe (transcription check)."""
+    ours = compose(f"/root/repo/configs/train", name, schema_cls=schema.TrainConfig)
+    theirs = compose(f"{REF_CONFIGS}/train", name, schema_cls=schema.TrainConfig)
+    for c in (ours, theirs):
+        c.data.dataset_type = "none"  # skip metadata loading paths
+        c.data.mappers_path = ""
+        c.data.tags_metadata_path = ""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        v_ours = build_vocabulary(ours)
+        v_theirs = build_vocabulary(theirs)
+    assert v_ours.vocab_size_out == v_theirs.vocab_size_out
+    assert v_ours.vocab_size_in == v_theirs.vocab_size_in
+    assert v_ours.event_start == v_theirs.event_start
+    assert v_ours.event_end == v_theirs.event_end
+    assert v_ours.context_sos == v_theirs.context_sos
+    # and the model dispatch resolves the same backbone family
+    assert ours.model.name == theirs.model.name
