@@ -104,16 +104,19 @@ def main() -> None:
     # warmup (compile)
     tokens, _ = engine.generate(encoder_states, prompt, pipeline, eos_ids, seed=0, max_length=max_len)
 
-    # timed runs
+    # timed runs: sync on the result arrays inside the window, count outside
+    # (a host-side count is a device round-trip and would tax the tunnel)
     n_runs = 3
+    results = []
     t0 = time.perf_counter()
-    total_generated = 0
     for i in range(n_runs):
         tokens, _ = engine.generate(encoder_states, prompt, pipeline, eos_ids, seed=i + 1, max_length=max_len)
-        jax.block_until_ready(jnp.asarray(0))  # engine already syncs via np.asarray
-        generated = int((tokens != vocab.pad_id).sum()) - int((prompt != vocab.pad_id).sum())
-        total_generated += generated
+        jax.block_until_ready(tokens)
+        results.append(tokens)
     elapsed = time.perf_counter() - t0
+    total_generated = sum(
+        int(np.asarray(t != vocab.pad_id).sum()) - int((prompt != vocab.pad_id).sum()) for t in results
+    )
 
     tok_per_s = total_generated / elapsed
     print(
