@@ -110,7 +110,12 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
     head_dim_override = None
     attention_scale, attention_bias, ffn_gated = True, m.attention_bias, False
     conv_stem = True
-    if name.startswith("google/t5"):
+    norm_scheme = "prenorm"
+    if name.startswith("OliBomby/nwhisper") or name.startswith("olibomby/nwhisper"):
+        dims = _whisper_size(name)
+        position_scheme, norm = "whisper_abs", "layer"
+        norm_scheme = "ngpt"
+    elif name.startswith("google/t5"):
         dims = _t5_size(name)
         head_dim_override = dims["head_dim"]
         position_scheme, norm = "t5_relpos", "rms"
@@ -122,6 +127,13 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
     elif name.startswith("Tiger14n/ropewhisper"):
         dims = _whisper_size(name)
         position_scheme, norm = "rope", "layer"
+    elif name.startswith("UsefulSensors/moonshine"):
+        # the reference's moonshine branch is unimportable in its own repo
+        # (custom_transformers exports no MoonshineConfig;
+        # modeling_mapperatorinator.py:40-44 raises ImportError when selected)
+        raise NotImplementedError(
+            "moonshine backbone is non-functional in the reference; pick a whisper/t5 family"
+        )
     elif "whisper" in name:
         dims = _whisper_size(name)
         position_scheme, norm = "whisper_abs", "layer"
@@ -148,6 +160,7 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
         global_attn_every_n_layers=m.global_attn_every_n_layers,
         local_attention=m.local_attention,
         norm=norm,
+        norm_scheme=norm_scheme,
         attention_bias=attention_bias,
         attention_scale=attention_scale,
         ffn_gated=ffn_gated,

@@ -56,6 +56,10 @@ class TransformerConfig:
 
     # structure
     norm: str = "rms"  # "rms" | "layer"
+    # "prenorm" (default) or "ngpt": nGPT-style hypersphere blocks with
+    # l2-normalized weights, slerp residuals, and no norm layers
+    # (reference: modeling_nwhisper.py:86-262, 812-1010)
+    norm_scheme: str = "prenorm"
     attention_bias: bool = True
     attention_scale: bool = True  # T5 omits the 1/sqrt(d) scale
     ffn_gated: bool = False  # T5 v1.1 gated activation: act(wi_0) * wi_1
@@ -88,6 +92,8 @@ class Norm(nn.Module):
     @nn.compact
     def __call__(self, x):
         cfg = self.config
+        if cfg.norm_scheme == "ngpt":  # hidden states are already unit-norm
+            return x
         if cfg.norm == "rms":
             # eps matches torch.nn.RMSNorm(eps=None) on fp32 inputs
             return nn.RMSNorm(epsilon=1.1920929e-7, dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
@@ -184,6 +190,69 @@ class RelativePositionBias(nn.Module):
         return table(buckets).transpose(2, 0, 1)[None]  # (1, H, Tq, Tk)
 
 
+# ---------------------------------------------------------------------------
+# nGPT-style (NWhisper) building blocks: every weight matrix and every hidden
+# state lives on the unit hypersphere; residuals are learned-rate slerps
+# (reference: modeling_nwhisper.py:86-262).
+# ---------------------------------------------------------------------------
+
+
+def l2norm(x: jnp.ndarray, axis: int = -1, eps: float = 1e-12) -> jnp.ndarray:
+    return x / jnp.maximum(jnp.linalg.norm(x, axis=axis, keepdims=True), eps)
+
+
+class HyperScale(nn.Module):
+    """Learned per-dim scale with decoupled init/lr trick: the param is
+    stored at ``scale`` and multiplied by ``init/scale`` on the forward."""
+
+    dim: int
+    init: float = 1.0
+    scale: float = 1.0
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self) -> jnp.ndarray:
+        p = self.param("scale", lambda key: jnp.full((self.dim,), self.scale, self.param_dtype))
+        return p * (self.init / self.scale)
+
+
+class NormDense(nn.Module):
+    """Dense whose kernel is l2-normalized along the input axis every forward
+    (``norm_dim_in=False`` normalizes along the output axis)."""
+
+    features: int
+    norm_dim_in: bool = True
+    use_bias: bool = False
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (x.shape[-1], self.features), self.param_dtype
+        )
+        kernel = l2norm(kernel, axis=0 if self.norm_dim_in else 1)
+        y = x.astype(self.dtype) @ kernel.astype(self.dtype)
+        if self.use_bias:
+            y = y + self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype).astype(self.dtype)
+        return y
+
+
+class HyperResidual(nn.Module):
+    """x <- l2norm(lerp(x, l2norm(branch_out), alpha)) with learned alpha."""
+
+    dim: int
+    alpha_init: float = 1.0
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, branch_out: jnp.ndarray) -> jnp.ndarray:
+        alpha = HyperScale(self.dim, self.alpha_init, self.dim**-0.5,
+                           self.param_dtype, name="branch_scale")()
+        out = l2norm(branch_out)
+        return l2norm(x + alpha * (out - x))
+
+
 class Attention(nn.Module):
     """Self or cross attention; optional RoPE, causal and sliding-window
     masking, and single-step cached decode."""
@@ -197,6 +266,19 @@ class Attention(nn.Module):
     def setup(self):
         cfg = self.config
         inner = self.num_heads * (cfg.head_dim_override or cfg.d_model // self.num_heads)
+        if cfg.norm_scheme == "ngpt":
+            nd = lambda feats, bias, norm_in, name: NormDense(
+                feats, norm_dim_in=norm_in, use_bias=bias,
+                dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name,
+            )
+            # q/v carry biases, k does not (reference: modeling_nwhisper.py:469-473)
+            self.wq = nd(inner, True, True, "wq")
+            self.wk = nd(inner, False, True, "wk")
+            self.wv = nd(inner, True, True, "wv")
+            self.wo = nd(cfg.d_model, True, False, "wo")
+            self.qk_scale = HyperScale(inner, 1.0, cfg.d_model**-1,
+                                       cfg.param_dtype, name="qk_scale")
+            return
         bias = cfg.attention_bias
         dense = lambda feats, name: nn.Dense(
             feats, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name
@@ -237,20 +319,30 @@ class Attention(nn.Module):
         cfg = self.config
         b, t, _ = x.shape
         h = self.num_heads
+        ngpt = cfg.norm_scheme == "ngpt"
 
         if self.is_cross:
             q = self._heads(self.wq(x), h)
             if cache is not None:
                 k, v = cache["k"], cache["v"]
                 new_cache = cache
+            elif ngpt:
+                k = self._heads(self.wk(kv_source), h)
+                v = self._heads(self.wv(kv_source), h)
+                new_cache = None
             else:
                 kv = self.wkv(kv_source)
                 k, v = jnp.split(self._heads(kv, 2 * h), 2, axis=2)
                 new_cache = None
             mask = attn_mask
         else:
-            qkv = self._heads(self.wqkv(x), 3 * h)
-            q, k, v = jnp.split(qkv, 3, axis=2)
+            if ngpt:
+                q = self._heads(self.wq(x), h)
+                k = self._heads(self.wk(x), h)
+                v = self._heads(self.wv(x), h)
+            else:
+                qkv = self._heads(self.wqkv(x), 3 * h)
+                q, k, v = jnp.split(qkv, 3, axis=2)
             if cfg.position_scheme == "rope":
                 q = apply_rope(q, positions, self.rope_theta)
                 k = apply_rope(k, positions, self.rope_theta)
@@ -281,7 +373,19 @@ class Attention(nn.Module):
                     band = sliding_window_mask(pos[0], pos[0], cfg.local_attention)[None, None]
                     mask = band if mask is None else (mask & band)
 
-        out = _attend(q, k, v, mask, cfg.dtype, bias=pos_bias, scaled=cfg.attention_scale)
+        if ngpt:
+            # q pre-scaled by sqrt(head_dim); q/k l2-normalized per head and
+            # rescaled by the learned sqk (reference: modeling_nwhisper.py:
+            # 503-535); applied post-cache so cached keys stay raw
+            head_dim = q.shape[-1]
+            sqk = self.qk_scale().reshape(1, 1, h, head_dim).astype(jnp.float32)
+            q = sqk * l2norm(q.astype(jnp.float32)) * head_dim**0.5
+            k = sqk * l2norm(k.astype(jnp.float32))
+            q = q.astype(cfg.dtype)
+            k = k.astype(cfg.dtype)
+            out = _attend(q, k, v, mask, cfg.dtype, bias=pos_bias, scaled=False)
+        else:
+            out = _attend(q, k, v, mask, cfg.dtype, bias=pos_bias, scaled=cfg.attention_scale)
         out = out.reshape(b, t, -1)
         return self.wo(out), new_cache
 
@@ -294,6 +398,12 @@ class FeedForward(nn.Module):
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
         act = {"gelu": nn.gelu, "relu": nn.relu, "silu": nn.silu}[cfg.activation]
+        if cfg.norm_scheme == "ngpt":
+            h = NormDense(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
+            h = act(h)
+            h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+            return NormDense(cfg.d_model, norm_dim_in=False, dtype=cfg.dtype,
+                             param_dtype=cfg.param_dtype, name="fc2")(h)
         h = nn.Dense(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
         h = act(h)
         if cfg.ffn_gated:  # T5 v1.1 gated activation
@@ -309,12 +419,20 @@ class EncoderLayer(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.self_attn_norm = Norm(cfg, name="self_attn_norm")
         self.self_attn = Attention(cfg, cfg.encoder_heads, is_causal=False, layer_idx=self.layer_idx, name="self_attn")
-        self.final_norm = Norm(cfg, name="final_norm")
         self.ffn = FeedForward(cfg, cfg.encoder_ffn, name="ffn")
+        if cfg.norm_scheme == "ngpt":
+            self.attn_residual = HyperResidual(cfg.d_model, param_dtype=cfg.param_dtype, name="attn_residual")
+            self.ffn_residual = HyperResidual(cfg.d_model, param_dtype=cfg.param_dtype, name="ffn_residual")
+        else:
+            self.self_attn_norm = Norm(cfg, name="self_attn_norm")
+            self.final_norm = Norm(cfg, name="final_norm")
 
     def __call__(self, x, positions, attn_mask=None, pos_bias=None, deterministic: bool = True):
+        if self.config.norm_scheme == "ngpt":
+            attn_out, _ = self.self_attn(x, positions=positions, attn_mask=attn_mask, pos_bias=pos_bias)
+            x = self.attn_residual(x, attn_out)
+            return self.ffn_residual(x, self.ffn(x, deterministic=deterministic))
         attn_out, _ = self.self_attn(
             self.self_attn_norm(x), positions=positions, attn_mask=attn_mask, pos_bias=pos_bias
         )
@@ -329,12 +447,17 @@ class DecoderLayer(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.self_attn_norm = Norm(cfg, name="self_attn_norm")
         self.self_attn = Attention(cfg, cfg.decoder_heads, is_causal=True, layer_idx=self.layer_idx, name="self_attn")
-        self.cross_attn_norm = Norm(cfg, name="cross_attn_norm")
         self.cross_attn = Attention(cfg, cfg.decoder_heads, is_cross=True, name="cross_attn")
-        self.final_norm = Norm(cfg, name="final_norm")
         self.ffn = FeedForward(cfg, cfg.decoder_ffn, name="ffn")
+        if cfg.norm_scheme == "ngpt":
+            self.attn_residual = HyperResidual(cfg.d_model, param_dtype=cfg.param_dtype, name="attn_residual")
+            self.cross_residual = HyperResidual(cfg.d_model, param_dtype=cfg.param_dtype, name="cross_residual")
+            self.ffn_residual = HyperResidual(cfg.d_model, param_dtype=cfg.param_dtype, name="ffn_residual")
+        else:
+            self.self_attn_norm = Norm(cfg, name="self_attn_norm")
+            self.cross_attn_norm = Norm(cfg, name="cross_attn_norm")
+            self.final_norm = Norm(cfg, name="final_norm")
 
     def __call__(
         self,
@@ -350,26 +473,30 @@ class DecoderLayer(nn.Module):
     ):
         self_cache = cache["self"] if cache is not None else None
         cross_cache = cache["cross"] if cache is not None else None
+        ngpt = self.config.norm_scheme == "ngpt"
 
         attn_out, new_self = self.self_attn(
-            self.self_attn_norm(x),
+            x if ngpt else self.self_attn_norm(x),
             positions=positions,
             attn_mask=self_mask,
             cache=self_cache,
             cache_index=cache_index,
             pos_bias=pos_bias,
         )
-        x = x + attn_out
+        x = self.attn_residual(x, attn_out) if ngpt else x + attn_out
 
         cross_out, _ = self.cross_attn(
-            self.cross_attn_norm(x),
+            x if ngpt else self.cross_attn_norm(x),
             kv_source=encoder_states,
             attn_mask=cross_mask,
             cache=cross_cache,
         )
-        x = x + cross_out
+        x = self.cross_residual(x, cross_out) if ngpt else x + cross_out
 
-        x = x + self.ffn(self.final_norm(x), deterministic=deterministic)
+        if ngpt:
+            x = self.ffn_residual(x, self.ffn(x, deterministic=deterministic))
+        else:
+            x = x + self.ffn(self.final_norm(x), deterministic=deterministic)
         new_cache = {"self": new_self, "cross": cross_cache} if cache is not None else None
         return x, new_cache
 
@@ -480,7 +607,10 @@ class Decoder(nn.Module):
         return x, (new_caches if cache is not None else None)
 
     def embed(self, input_ids: jnp.ndarray) -> jnp.ndarray:
-        return self.embed_tokens(input_ids)
+        e = self.embed_tokens(input_ids)
+        if self.config.norm_scheme == "ngpt":  # rows live on the hypersphere
+            e = l2norm(e)
+        return e
 
 
 class OsuTransformer(nn.Module):
@@ -493,12 +623,23 @@ class OsuTransformer(nn.Module):
         cfg = self.config
         self.encoder = Encoder(cfg, name="encoder")
         self.decoder = Decoder(cfg, name="decoder")
-        if not cfg.tie_word_embeddings:
+        if cfg.norm_scheme == "ngpt":
+            # normalized head with a learned logit scale
+            # (reference: modeling_nwhisper.py:2043-2044, 2132-2133)
+            self.proj_out = NormDense(
+                cfg.vocab_size, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj_out"
+            )
+            self.logit_scale = HyperScale(
+                cfg.vocab_size, 1.0, cfg.d_model**-0.5, cfg.param_dtype, name="logit_scale"
+            )
+        elif not cfg.tie_word_embeddings:
             self.proj_out = nn.Dense(
                 cfg.vocab_size, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj_out"
             )
 
     def _lm_head(self, x: jnp.ndarray) -> jnp.ndarray:
+        if self.config.norm_scheme == "ngpt":
+            return self.proj_out(x) * self.logit_scale().astype(self.config.dtype)
         if self.config.tie_word_embeddings:
             return self.decoder.embed_tokens.attend(x)
         return self.proj_out(x)
@@ -534,8 +675,16 @@ class OsuTransformer(nn.Module):
         h, d = cfg.decoder_heads, cfg.head_dim
         caches = []
         for layer in self.decoder.layers:
-            kv = layer.cross_attn.wkv(encoder_states)
-            k, v = jnp.split(kv.reshape(kv.shape[0], kv.shape[1], 2 * h, d), 2, axis=2)
+            if cfg.norm_scheme == "ngpt":
+                k = layer.cross_attn.wk(encoder_states).reshape(
+                    encoder_states.shape[0], encoder_states.shape[1], h, d
+                )
+                v = layer.cross_attn.wv(encoder_states).reshape(
+                    encoder_states.shape[0], encoder_states.shape[1], h, d
+                )
+            else:
+                kv = layer.cross_attn.wkv(encoder_states)
+                k, v = jnp.split(kv.reshape(kv.shape[0], kv.shape[1], 2 * h, d), 2, axis=2)
             caches.append(
                 {
                     "self": {

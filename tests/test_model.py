@@ -274,3 +274,38 @@ def test_t5_build_config():
     assert bb.head_dim == 64 and bb.decoder_heads == 6 and bb.d_model == 512
     assert bb.ffn_gated and not bb.attention_scale and not bb.attention_bias
     assert not bb.conv_stem
+
+
+def test_ngpt_nwhisper_cached_decode_matches_full():
+    """nGPT-normalized backbone: unit-norm hidden states and exact stepwise
+    decode (reference NWhisper: modeling_nwhisper.py:86-262)."""
+    cfg = TransformerConfig(
+        vocab_size=64, d_model=32, encoder_layers=1, decoder_layers=2,
+        encoder_heads=2, decoder_heads=2, encoder_ffn=64, decoder_ffn=64,
+        max_source_positions=16, max_target_positions=32, num_mel_bins=32,
+        position_scheme="whisper_abs", norm="layer", norm_scheme="ngpt", conv_stem=True,
+    )
+    model = OsuTransformer(cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(1, 32, 32)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 60, (1, 12)), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), features=feats, decoder_input_ids=ids)
+    logits_full = model.apply(params, features=feats, decoder_input_ids=ids)
+    assert bool(jnp.isfinite(logits_full).all())
+
+    enc = model.apply(params, feats, method=lambda m, f: m.encoder(f))
+    norms = np.asarray(jnp.linalg.norm(enc, axis=-1))
+    np.testing.assert_allclose(norms, 1.0, atol=1e-5)
+
+    cache = model.apply(params, 1, 20, enc, method=lambda m, b, l, e: m.init_cache(b, l, e))
+    outs = []
+    for t in range(12):
+        emb = model.apply(params, ids[:, t : t + 1], method=lambda m, i: m.decoder.embed(i))
+        logits, cache = model.apply(
+            params, emb, cache, t,
+            method=lambda m, e, c, i: m.decode_step(e, c, i, positions=jnp.full((1, 1), i)),
+        )
+        outs.append(logits[:, 0])
+    np.testing.assert_allclose(
+        np.asarray(jnp.stack(outs, 1)), np.asarray(logits_full), atol=2e-4
+    )
