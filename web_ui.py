@@ -54,6 +54,14 @@ PAGE = """<!DOCTYPE html>
  <button type="submit">Generate</button>
  <button type="button" id="cancel">Cancel</button>
 </form>
+<h2>MaiMod <small>AI modding</small></h2>
+<form id="modform">
+ <label>Beatmap path (.osu) <input name="beatmap_path" required></label>
+ <label>Audio path <input name="audio_path"></label>
+ <label>Model path <input name="model_path" required></label>
+ <label>Extra overrides <input name="extra_overrides"></label>
+ <button type="submit">Analyze</button>
+</form>
 <div id="log"></div>
 <script>
 const log = document.getElementById('log');
@@ -76,10 +84,56 @@ document.getElementById('form').addEventListener('submit', async (e) => {
 });
 document.getElementById('cancel').addEventListener('click', () =>
   fetch('/cancel_inference', {method: 'POST'}));
+document.getElementById('modform').addEventListener('submit', async (e) => {
+  e.preventDefault();
+  log.textContent = '';
+  const data = Object.fromEntries(new FormData(e.target).entries());
+  const res = await fetch('/start_mai_mod', {
+    method: 'POST', headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify(data)});
+  const out = await res.json();
+  if (out.error) { log.textContent = 'error: ' + out.error; return; }
+  source = new EventSource('/stream_output');
+  source.onmessage = (ev) => {
+    log.textContent += ev.data + '\\n';
+    log.scrollTop = log.scrollHeight;
+    if (ev.data.startsWith('[done]') || ev.data.startsWith('[error]')) source.close();
+  };
+});
 </script>
 </body>
 </html>
 """
+
+
+def _mai_mod_worker(params: dict, log_queue):
+    """MaiMod analysis worker process (reference: mai_mod_ui.py)."""
+    import io
+
+    class QueueWriter(io.TextIOBase):
+        def write(self, s):
+            s = s.strip()
+            if s:
+                log_queue.put(s)
+            return len(s)
+
+    sys.stdout = QueueWriter()
+    sys.stderr = QueueWriter()
+    try:
+        from mai_mod import main as mai_mod_main
+
+        extra = params.pop("extra_overrides", "") or ""
+        overrides = []
+        for key, value in params.items():
+            if value in (None, ""):
+                continue
+            # model_path belongs to the nested inference config
+            overrides.append(f"inference.{key}={value}" if key == "model_path" else f"{key}={value}")
+        overrides += extra.split()
+        mai_mod_main(overrides)
+        log_queue.put("[done] analysis complete")
+    except Exception as e:
+        log_queue.put(f"[error] {e}")
 
 
 def _worker(params: dict, log_queue):
@@ -170,14 +224,15 @@ class Handler(BaseHTTPRequestHandler):
         length = int(self.headers.get("Content-Length", 0))
         payload = json.loads(self.rfile.read(length) or b"{}")
 
-        if path == "/start_inference":
+        if path in ("/start_inference", "/start_mai_mod"):
+            target = _worker if path == "/start_inference" else _mai_mod_worker
             with STATE.lock:
                 if STATE.process is not None and STATE.process.is_alive():
                     self._json({"error": "generation already running"}, 409)
                     return
                 ctx = multiprocessing.get_context("spawn")
                 STATE.log_queue = ctx.Queue()
-                STATE.process = ctx.Process(target=_worker, args=(payload, STATE.log_queue), daemon=True)
+                STATE.process = ctx.Process(target=target, args=(payload, STATE.log_queue), daemon=True)
                 STATE.process.start()
             self._json({"status": "started"})
         elif path == "/cancel_inference":
