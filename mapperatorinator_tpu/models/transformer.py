@@ -47,6 +47,12 @@ class TransformerConfig:
     position_scheme: str = "rope"  # "rope" | "whisper_abs" | "t5_relpos" | "none"
     rope_global_theta: float = 10000.0
     rope_local_theta: float = 10000.0
+    # "default" or "dynamic": NTK-aware base rescaling once the (static)
+    # sequence length exceeds the trained max positions
+    # (reference: modeling_ropewhisper.py:265-315 via HF ROPE_INIT_FUNCTIONS)
+    rope_type: str = "default"
+    rope_encoder_scaling_factor: float = 1.0
+    rope_decoder_scaling_factor: float = 1.0
     # every n-th layer is global; others use a sliding window of local_attention
     global_attn_every_n_layers: int = 1
     local_attention: int = 128
@@ -257,6 +263,16 @@ class HyperResidual(nn.Module):
         return l2norm(x + alpha * (out - x))
 
 
+def dynamic_ntk_theta(theta: float, head_dim: int, seq_len: int, max_positions: int,
+                      factor: float) -> float:
+    """HF dynamic-NTK base rescaling; identity while seq_len fits the trained
+    range. seq_len is static under jit, so this stays a Python computation."""
+    if seq_len <= max_positions or factor <= 0:
+        return theta
+    scale = (factor * seq_len / max_positions) - (factor - 1)
+    return theta * scale ** (head_dim / (head_dim - 2))
+
+
 class Attention(nn.Module):
     """Self or cross attention; optional RoPE, causal and sliding-window
     masking, and single-step cached decode."""
@@ -265,6 +281,7 @@ class Attention(nn.Module):
     num_heads: int
     is_cross: bool = False
     is_causal: bool = False
+    is_decoder: bool = False
     layer_idx: int = 0
 
     def setup(self):
@@ -348,8 +365,15 @@ class Attention(nn.Module):
                 qkv = self._heads(self.wqkv(x), 3 * h)
                 q, k, v = jnp.split(qkv, 3, axis=2)
             if cfg.position_scheme == "rope":
-                q = apply_rope(q, positions, self.rope_theta)
-                k = apply_rope(k, positions, self.rope_theta)
+                theta = self.rope_theta
+                if cfg.rope_type == "dynamic":
+                    seq_len = cache["k"].shape[1] if cache is not None else t
+                    max_pos = cfg.max_target_positions if self.is_decoder else cfg.max_source_positions
+                    factor = (cfg.rope_decoder_scaling_factor if self.is_decoder
+                              else cfg.rope_encoder_scaling_factor)
+                    theta = dynamic_ntk_theta(theta, cfg.head_dim, seq_len, max_pos, factor)
+                q = apply_rope(q, positions, theta)
+                k = apply_rope(k, positions, theta)
 
             if cache is not None:
                 # single-step (or chunked) decode: write k/v at cache_index
@@ -475,7 +499,9 @@ class DecoderLayer(nn.Module):
 
     def setup(self):
         cfg = self.config
-        self.self_attn = Attention(cfg, cfg.decoder_heads, is_causal=True, layer_idx=self.layer_idx, name="self_attn")
+        self.self_attn = Attention(
+            cfg, cfg.decoder_heads, is_causal=True, is_decoder=True, layer_idx=self.layer_idx, name="self_attn"
+        )
         self.cross_attn = Attention(cfg, cfg.decoder_heads, is_cross=True, name="cross_attn")
         self.ffn = FeedForward(cfg, cfg.decoder_ffn, name="ffn")
         if cfg.norm_scheme == "ngpt":

@@ -1,4 +1,4 @@
-from .batching import TokenBalancedBatcher, collate_batch, cycle_interleave  # noqa: F401
+from .batching import TokenBalancedBatcher, collate_batch, cycle_interleave, prefetch_iterator  # noqa: F401
 from .mmrs import MmrsDataset  # noqa: F401
 from .ors import OrsDataset  # noqa: F401
 from .sequence import SequenceProcessor  # noqa: F401

@@ -67,6 +67,36 @@ def collate_batch(samples: list[dict]) -> dict:
     return out
 
 
+def prefetch_iterator(iterable: Iterable[Any], buffer_size: int = 4) -> Iterator[Any]:
+    """Run the (host-side) data pipeline on a background thread so audio
+    decode/parsing overlaps device steps — the role of the reference's torch
+    DataLoader workers (model_utils.py:555-624). Exceptions propagate to the
+    consumer; the thread is a daemon so abandoned iterators don't hang exit."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=buffer_size)
+    _END = object()
+
+    def produce():
+        try:
+            for item in iterable:
+                q.put(item)
+            q.put(_END)
+        except BaseException as e:  # noqa: BLE001 — forwarded to consumer
+            q.put(e)
+
+    thread = threading.Thread(target=produce, daemon=True)
+    thread.start()
+    while True:
+        item = q.get()
+        if item is _END:
+            return
+        if isinstance(item, BaseException):
+            raise item
+        yield item
+
+
 def cycle_interleave(factory, items: list, cycle_length: int) -> Iterator[Any]:
     """Round-robin over ``cycle_length`` concurrently-open sub-iterators, each
     built by ``factory`` over a shard of ``items``."""

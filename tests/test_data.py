@@ -176,3 +176,21 @@ def test_collate_and_batch_iterator(data_setup):
     b = batches[0]
     assert b["decoder_input_ids"].shape == (2, cfg.data.tgt_seq_len)
     assert b["frames"].shape[0] == 2
+
+
+def test_prefetch_iterator():
+    from mapperatorinator_tpu.train.data import prefetch_iterator
+
+    assert list(prefetch_iterator(range(100), buffer_size=3)) == list(range(100))
+    assert list(prefetch_iterator([], buffer_size=2)) == []
+
+    def boom():
+        yield 1
+        raise ValueError("inner failure")
+
+    it = prefetch_iterator(boom(), buffer_size=2)
+    assert next(it) == 1
+    import pytest
+
+    with pytest.raises(ValueError, match="inner failure"):
+        next(it)

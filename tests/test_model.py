@@ -309,3 +309,38 @@ def test_ngpt_nwhisper_cached_decode_matches_full():
     np.testing.assert_allclose(
         np.asarray(jnp.stack(outs, 1)), np.asarray(logits_full), atol=2e-4
     )
+
+
+def test_dynamic_ntk_rope():
+    """Dynamic NTK: identity within the trained range, rescaled base beyond;
+    longer-than-trained decode stays exact vs an explicitly-scaled model."""
+    from mapperatorinator_tpu.models.transformer import dynamic_ntk_theta
+
+    assert dynamic_ntk_theta(10000.0, 64, 100, 128, 1.0) == 10000.0
+    scaled = dynamic_ntk_theta(10000.0, 64, 256, 128, 1.0)
+    assert scaled > 10000.0
+    assert scaled == pytest.approx(10000.0 * 2.0 ** (64 / 62))
+
+    base = dict(
+        vocab_size=64, d_model=32, encoder_layers=1, decoder_layers=1,
+        encoder_heads=2, decoder_heads=2, encoder_ffn=64, decoder_ffn=64,
+        max_source_positions=16, max_target_positions=8, num_mel_bins=32,
+        position_scheme="rope", norm="rms", conv_stem=False,
+    )
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(1, 16, 32)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 60, (1, 12)), jnp.int32)  # 12 > max_target 8
+
+    m_dyn = OsuTransformer(TransformerConfig(**base, rope_type="dynamic"))
+    m_def = OsuTransformer(TransformerConfig(**base))
+    params = m_def.init(jax.random.PRNGKey(0), features=feats, decoder_input_ids=ids)
+    out_dyn = m_dyn.apply(params, features=feats, decoder_input_ids=ids)
+    out_def = m_def.apply(params, features=feats, decoder_input_ids=ids)
+    # beyond the trained range the two differ (frequencies rescaled)
+    assert float(jnp.abs(out_dyn - out_def).max()) > 1e-4
+
+    # within range: identical
+    ids_short = ids[:, :8]
+    out_dyn_s = m_dyn.apply(params, features=feats, decoder_input_ids=ids_short)
+    out_def_s = m_def.apply(params, features=feats, decoder_input_ids=ids_short)
+    np.testing.assert_allclose(np.asarray(out_dyn_s), np.asarray(out_def_s), atol=1e-6)

@@ -35,13 +35,18 @@ def build_model_and_data(args, mesh=None):
     model = Mapperatorinator(config)
 
     def make_batches(test: bool):
+        from mapperatorinator_tpu.train.data.batching import prefetch_iterator
+
         dataset = build_dataset(args.data, parser, vocab, test=test)
-        return batch_iterator(
+        batches = batch_iterator(
             dataset,
             args.optim.batch_size,
             balancer_buffer_size=args.dataloader.balancer_buffer_size if not test else 0,
             drop_last=args.dataloader.drop_last,
         )
+        if not test and args.dataloader.num_workers > 0:
+            batches = prefetch_iterator(batches, buffer_size=2 * args.dataloader.num_workers)
+        return batches
 
     hop = args.model.spectrogram.hop_length
     params = model.init(
