@@ -515,7 +515,7 @@ class InferenceConfig:
     do_sample: bool = True
     num_beams: int = 1
     super_timing: bool = False
-    timer_num_beams: int = 2
+    timer_num_beams: int = 1
     timer_bpm_threshold: float = 0.7
     timer_cfg_scale: float = 1.0
     timer_iterations: int = 20

@@ -142,6 +142,54 @@ class DecodeEngine:
         )
         return np.asarray(tokens), np.asarray(lengths)
 
+    def generate_beams(
+        self,
+        encoder_states: jnp.ndarray,
+        decoder_input_ids: np.ndarray,
+        pipeline: LogitsPipeline,
+        eos_ids: list[int],
+        num_beams: int,
+        decoder_attention_mask: Optional[np.ndarray] = None,
+        max_length: Optional[int] = None,
+        length_penalty: float = 1.0,
+    ) -> np.ndarray:
+        """HF-style beam search (num_beams > 1, do_sample=False; reference
+        uses GenerationMixin beam search for the super-timing generator when
+        timer_num_beams > 1). CFG dual-batching is not combined with beams.
+        Returns (B, max_length) right-padded best hypotheses."""
+        max_length = max_length or self.max_length
+        B, P_orig = decoder_input_ids.shape
+        assert P_orig < max_length
+
+        if decoder_attention_mask is None:
+            decoder_attention_mask = decoder_input_ids != self.pad_token_id
+        P = _bucket(P_orig)
+        if P != P_orig:
+            pad = P - P_orig
+            decoder_input_ids = np.pad(decoder_input_ids, ((0, 0), (pad, 0)), constant_values=self.pad_token_id)
+            decoder_attention_mask = np.pad(decoder_attention_mask, ((0, 0), (pad, 0)), constant_values=False)
+        gen_limit = max_length - P_orig
+
+        eos_mask = np.zeros(pipeline.vocab_size, bool)
+        for e in eos_ids:
+            eos_mask[e] = True
+
+        key = ("beams", B, P, max_length, pipeline, num_beams, length_penalty)
+        fn = self._generate_fn_cache.get(key)
+        if fn is None:
+            fn = self._build_beam_fn(B, P, max_length, pipeline, num_beams, length_penalty)
+            self._generate_fn_cache[key] = fn
+
+        tokens, lengths = fn(
+            self.params,
+            jnp.asarray(encoder_states),
+            jnp.asarray(decoder_input_ids, jnp.int32),
+            jnp.asarray(decoder_attention_mask, bool),
+            jnp.asarray(eos_mask),
+            jnp.asarray(gen_limit, jnp.int32),
+        )
+        return np.asarray(tokens), np.asarray(lengths)
+
     def forward(
         self,
         encoder_states,
@@ -187,6 +235,157 @@ class DecodeEngine:
         return logits
 
     # -- compiled internals -------------------------------------------------------
+
+    def _build_beam_fn(self, B: int, P: int, max_length: int, pipeline: LogitsPipeline,
+                       N: int, length_penalty: float):
+        """Beam search as one jitted while_loop: top-2N candidate expansion,
+        EOS candidates retire into a per-batch top-N finished set, live beams
+        reorder the KV cache and processor state by gather."""
+        model = self.model
+        pad_id = self.pad_token_id
+        BN = B * N
+        NEG = jnp.float32(-1e9)
+
+        def apply(params, method, *args, **kw):
+            return model.apply(params, *args, method=getattr(type(model), method), **kw)
+
+        buffer_len = P + max_length
+
+        @jax.jit
+        def generate(params, encoder_states, prompt_ids, prompt_mask, eos_mask, gen_limit):
+            # expand to beams: (B, ...) -> (B*N, ...)
+            enc = jnp.repeat(encoder_states, N, axis=0)
+            prompt_ids_bn = jnp.repeat(prompt_ids, N, axis=0)
+            prompt_mask_bn = jnp.repeat(prompt_mask, N, axis=0)
+
+            cache = apply(params, "init_cache", BN, buffer_len, enc)
+            tokens = jnp.full((BN, buffer_len), pad_id, jnp.int32).at[:, :P].set(prompt_ids_bn)
+            attn = jnp.zeros((BN, buffer_len), bool).at[:, :P].set(prompt_mask_bn)
+            prompt_positions = jnp.clip(jnp.cumsum(prompt_mask_bn, axis=1) - 1, 0)
+            n_valid = prompt_mask_bn.sum(axis=1).astype(jnp.int32)
+
+            prompt_embeds = apply(params, "embed_tokens", prompt_ids_bn)
+            logits, cache = apply(
+                params, "decode_step", prompt_embeds, cache, 0,
+                self_mask=attn[:, None, None, :], positions=prompt_positions,
+            )
+            last_logits = logits[:, -1].astype(jnp.float32)
+
+            lstate = pipeline.init_state(BN)
+            beam_scores = jnp.full((B, N), NEG).at[:, 0].set(0.0)
+            fin_scores = jnp.full((B, N), NEG)
+            fin_tokens = jnp.full((B, N, buffer_len), pad_id, jnp.int32)
+            fin_lengths = jnp.zeros((B, N), jnp.int32)
+
+            vocab = pipeline.vocab_size
+
+            def step(carry: BeamCarry, step_logits):
+                cur_len = carry.cur_len
+                # HF normalizes by the hypothesis length EXCLUDING the EOS
+                # token being emitted (BeamHypotheses.add)
+                gen_len = jnp.maximum((cur_len - P).astype(jnp.float32), 1.0)
+
+                lstate2, scores = pipeline(carry.logits_state, step_logits)
+                logp = jax.nn.log_softmax(scores, axis=-1)  # (BN, V)
+                cand = carry.beam_scores[:, :, None] + logp.reshape(B, N, vocab)
+                cand = cand.reshape(B, N * vocab)
+                top_vals, top_idx = jax.lax.top_k(cand, 2 * N)  # (B, 2N)
+                beam_idx = top_idx // vocab
+                token_ids = (top_idx % vocab).astype(jnp.int32)
+                is_eos = eos_mask[jnp.clip(token_ids, 0, eos_mask.shape[0] - 1)]
+
+                # --- retire EOS candidates into the finished set -------------
+                cand_norm = top_vals / gen_len**length_penalty
+                cand_fin_scores = jnp.where(is_eos, cand_norm, NEG)  # (B, 2N)
+                flat_src = carry.tokens.reshape(B, N, buffer_len)
+                cand_rows = jnp.take_along_axis(flat_src, beam_idx[:, :, None], axis=1)  # (B,2N,L)
+                cand_rows = jax.vmap(
+                    lambda rows, toks: jax.vmap(
+                        lambda row, tok: jax.lax.dynamic_update_slice(row, tok[None], (cur_len,))
+                    )(rows, toks)
+                )(cand_rows, token_ids)
+                nv = carry.n_valid.reshape(B, N)
+                cand_lengths = jnp.take_along_axis(nv, beam_idx, axis=1) + 1
+
+                all_scores = jnp.concatenate([carry.fin_scores, cand_fin_scores], axis=1)  # (B,3N)
+                all_tokens = jnp.concatenate([carry.fin_tokens, cand_rows], axis=1)
+                all_lengths = jnp.concatenate([carry.fin_lengths, cand_lengths], axis=1)
+                keep_vals, keep_idx = jax.lax.top_k(all_scores, N)
+                fin_tokens2 = jnp.take_along_axis(all_tokens, keep_idx[:, :, None], axis=1)
+                fin_lengths2 = jnp.take_along_axis(all_lengths, keep_idx, axis=1)
+
+                # --- select the N best non-EOS candidates as live beams ------
+                live_vals = jnp.where(is_eos, NEG, top_vals)
+                sel_vals, sel = jax.lax.top_k(live_vals, N)  # (B, N) indices into 2N
+                sel_beam = jnp.take_along_axis(beam_idx, sel, axis=1)  # (B, N)
+                sel_tok = jnp.take_along_axis(token_ids, sel, axis=1)
+                global_idx = (jnp.arange(B)[:, None] * N + sel_beam).reshape(BN)
+
+                tokens2 = carry.tokens[global_idx]
+                tokens2 = jax.lax.dynamic_update_slice(
+                    tokens2, sel_tok.reshape(BN, 1), (0, cur_len)
+                )
+                attn2 = carry.attention_mask[global_idx]
+                attn2 = jax.lax.dynamic_update_slice(attn2, jnp.ones((BN, 1), bool), (0, cur_len))
+                n_valid2 = carry.n_valid[global_idx] + 1
+                cache2 = jax.tree.map(lambda x: x[global_idx], carry.cache)
+                lstate3 = jax.tree.map(
+                    lambda x: x[global_idx] if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == BN else x,
+                    lstate2,
+                )
+                lstate3 = pipeline.update_state(lstate3, sel_tok.reshape(BN))
+
+                return BeamCarry(
+                    tokens=tokens2, attention_mask=attn2, cache=cache2,
+                    cur_len=cur_len + 1, n_valid=n_valid2, beam_scores=sel_vals,
+                    fin_scores=keep_vals, fin_tokens=fin_tokens2, fin_lengths=fin_lengths2,
+                    logits_state=lstate3,
+                )
+
+            carry = BeamCarry(
+                tokens=tokens, attention_mask=attn, cache=cache,
+                cur_len=jnp.asarray(P, jnp.int32), n_valid=n_valid,
+                beam_scores=beam_scores, fin_scores=fin_scores,
+                fin_tokens=fin_tokens, fin_lengths=fin_lengths, logits_state=lstate,
+            )
+            carry = step(carry, last_logits)
+
+            def cond(c: BeamCarry):
+                gen_len = (c.cur_len - P).astype(jnp.float32)
+                # HF early_stopping=False: a batch is done once its worst
+                # finished hypothesis beats the best attainable live score
+                best_attainable = c.beam_scores.max(axis=1) / jnp.maximum(gen_len, 1.0) ** length_penalty
+                done = c.fin_scores.min(axis=1) >= best_attainable
+                return (c.cur_len < P + gen_limit) & ~jnp.all(done)
+
+            def body(c: BeamCarry):
+                last = jax.lax.dynamic_slice(c.tokens, (0, c.cur_len - 1), (BN, 1))
+                last_embeds = apply(params, "embed_tokens", last)
+                logits, cache2 = apply(
+                    params, "decode_step", last_embeds, c.cache, c.cur_len - 1,
+                    self_mask=c.attention_mask[:, None, None, :],
+                    positions=(c.n_valid - 1)[:, None],
+                )
+                return step(c._replace(cache=cache2), logits[:, -1].astype(jnp.float32))
+
+            final = jax.lax.while_loop(cond, body, carry)
+
+            # finalize: live beams compete with finished hypotheses
+            gen_len = (final.cur_len - P).astype(jnp.float32)
+            live_norm = final.beam_scores / jnp.maximum(gen_len, 1.0) ** length_penalty
+            merged_scores = jnp.concatenate([final.fin_scores, live_norm], axis=1)  # (B, 2N)
+            merged_tokens = jnp.concatenate(
+                [final.fin_tokens, final.tokens.reshape(B, N, buffer_len)], axis=1
+            )
+            merged_lengths = jnp.concatenate(
+                [final.fin_lengths, final.n_valid.reshape(B, N)], axis=1
+            )
+            best = jnp.argmax(merged_scores, axis=1)
+            out_tokens = jnp.take_along_axis(merged_tokens, best[:, None, None], axis=1)[:, 0]
+            out_lengths = jnp.take_along_axis(merged_lengths, best[:, None], axis=1)[:, 0]
+            return out_tokens, out_lengths
+
+        return generate
 
     def _build_generate_fn(self, B: int, P: int, max_length: int, pipeline: LogitsPipeline, cfg_scale: float):
         model = self.model
@@ -314,3 +513,16 @@ def _bucket(p: int) -> int:
     while b < p:
         b *= 2
     return b
+
+
+class BeamCarry(NamedTuple):
+    tokens: jnp.ndarray  # (B*N, buffer_len) int32 — live beams
+    attention_mask: jnp.ndarray  # (B*N, buffer_len)
+    cache: Any
+    cur_len: jnp.ndarray  # scalar — write position
+    n_valid: jnp.ndarray  # (B*N,) logical token counts
+    beam_scores: jnp.ndarray  # (B, N) running sum of logprobs
+    fin_scores: jnp.ndarray  # (B, N) normalized scores of finished hyps
+    fin_tokens: jnp.ndarray  # (B, N, buffer_len)
+    fin_lengths: jnp.ndarray  # (B, N)
+    logits_state: Any

@@ -235,15 +235,29 @@ class Processor:
             prompts = cond_prompt
 
         t0 = _time.perf_counter()
-        tokens, _ = self.engine.generate(
-            encoder_states,
-            prompts,
-            pipeline,
-            eos_ids=eos_ids,
-            seed=self._next_seed(),
-            cfg_scale=self.cfg_scale,
-            max_length=self.tgt_seq_len,
-        )
+        if self.num_beams > 1 and not self.do_sample:
+            # beam search (reference: HF GenerationMixin num_beams path, used
+            # by the super-timing generator when timer_num_beams > 1); beams
+            # are not combined with CFG dual-batching
+            assert self.cfg_scale <= 1 or uncond_prompt is None, "beams + CFG unsupported"
+            tokens, _ = self.engine.generate_beams(
+                encoder_states,
+                prompts,
+                pipeline,
+                eos_ids=eos_ids,
+                num_beams=self.num_beams,
+                max_length=self.tgt_seq_len,
+            )
+        else:
+            tokens, _ = self.engine.generate(
+                encoder_states,
+                prompts,
+                pipeline,
+                eos_ids=eos_ids,
+                seed=self._next_seed(),
+                cfg_scale=self.cfg_scale,
+                max_length=self.tgt_seq_len,
+            )
         elapsed = _time.perf_counter() - t0
 
         if self.cfg_scale > 1 and uncond_prompt is not None:
