@@ -81,4 +81,13 @@ def load_checkpoint(directory: Union[str, Path]):
         model, params = load_hf_checkpoint(directory, vocab)
         return model, params, vocab
 
+    from .legacy import is_legacy_checkpoint
+
+    if is_legacy_checkpoint(directory):
+        raise ValueError(
+            f"{directory} is a legacy accelerate checkpoint; load it with "
+            "mapperatorinator_tpu.models.legacy.load_legacy_checkpoint(dir, train_args) "
+            "(it carries no model config, so the training config is required)"
+        )
+
     raise FileNotFoundError(f"no recognizable checkpoint at {directory}")
