@@ -29,6 +29,7 @@ LORA_CONFIG_FILENAME = "lora_config.json"
 LORA_WEIGHTS_FILENAME = "lora.msgpack"
 
 # reference peft target names -> our packed-projection kernel names
+# (whisper-family uses *_proj; VarWhisper uses Wq/Wkv/Wqkv/Wo)
 _TARGET_ALIASES = {
     "q_proj": "wq",
     "k_proj": "wkv",
@@ -36,6 +37,10 @@ _TARGET_ALIASES = {
     "out_proj": "wo",
     "o_proj": "wo",
     "qkv_proj": "wqkv",
+    "Wq": "wq",
+    "Wkv": "wkv",
+    "Wqkv": "wqkv",
+    "Wo": "wo",
 }
 DEFAULT_TARGETS = ("wq", "wkv", "wqkv", "wo")
 

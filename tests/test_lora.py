@@ -142,3 +142,7 @@ def test_lora_train_step(tiny_model):
         if path.endswith("/b")
     ]
     assert any(float(np.abs(np.asarray(x)).max()) > 0 for x in b_leaves)
+
+
+def test_varwhisper_target_aliases():
+    assert normalize_targets(["Wq", "Wkv", "Wqkv", "Wo"]) == ("wq", "wkv", "wqkv", "wo")
