@@ -191,6 +191,42 @@ def extract_features(beatmap_path: Path, audio, classifier_bundle, batch_size: i
     return np.concatenate(features) if features else np.zeros((0, 1))
 
 
+def compute_self_similarity(features: np.ndarray, similarity: str = "cosine") -> np.ndarray:
+    """Window-feature self-similarity matrix (reference: calc_fid.py:159-170)."""
+    if similarity == "dot":
+        return features @ features.T
+    norms = np.clip(np.linalg.norm(features, axis=1, keepdims=True), 1e-12, None)
+    normalized = features / norms
+    return normalized @ normalized.T
+
+
+def _resize_matrix(matrix: np.ndarray, target: int) -> np.ndarray:
+    """Bilinear resize to (target, target) (reference: calc_fid.py:192-198;
+    torch interpolate replaced with scipy zoom)."""
+    if matrix.shape == (target, target):
+        return matrix.astype(np.float32)
+    from scipy.ndimage import zoom
+
+    factor = target / matrix.shape[0]
+    out = zoom(matrix.astype(np.float32), factor, order=1)
+    return out[:target, :target]
+
+
+def ssm_rmse_for_pair(real_features, generated_features, similarity: str = "cosine"):
+    """Self-similarity RMSE between real and generated feature sequences
+    (reference: calc_fid.py:201-229). Returns None on empty features."""
+    if real_features is None or generated_features is None:
+        return None
+    if real_features.size == 0 or generated_features.size == 0:
+        return None
+    real = np.clip((compute_self_similarity(real_features, similarity) + 1) / 2, 0, 1)
+    gen = np.clip((compute_self_similarity(generated_features, similarity) + 1) / 2, 0, 1)
+    target = max(real.shape[0], gen.shape[0])
+    real = _resize_matrix(real, target)
+    gen = _resize_matrix(gen, target)
+    return float(np.sqrt(np.mean((real - gen) ** 2)))
+
+
 def classifier_fid(pairs, classifier_bundle, args) -> dict:
     """FID between real and generated maps' classifier feature distributions
     (reference: calc_fid.py:579-713)."""
@@ -199,19 +235,27 @@ def classifier_fid(pairs, classifier_bundle, args) -> dict:
     from mapperatorinator_tpu.audio.io import load_audio_file
 
     sr = classifier_bundle[2].model.spectrogram.sample_rate
-    real_feats, gen_feats = [], []
+    real_feats, gen_feats, ssm_errs = [], [], []
     for real_path, gen_path in pairs:
         audio_candidates = list(real_path.parents[1].glob("audio.*"))
         if not audio_candidates:
             continue
         audio = load_audio_file(audio_candidates[0], sr)
-        real_feats.append(extract_features(real_path, audio, classifier_bundle, args.classifier_batch_size))
-        gen_feats.append(extract_features(gen_path, audio, classifier_bundle, args.classifier_batch_size))
+        rf = extract_features(real_path, audio, classifier_bundle, args.classifier_batch_size)
+        gf = extract_features(gen_path, audio, classifier_bundle, args.classifier_batch_size)
+        real_feats.append(rf)
+        gen_feats.append(gf)
+        err = ssm_rmse_for_pair(rf, gf)
+        if err is not None:
+            ssm_errs.append(err)
     if not real_feats:
         return {}
     real = np.concatenate(real_feats)
     gen = np.concatenate(gen_feats)
-    return {"fid": compute_fid_from_features(real, gen)}
+    results = {"fid": compute_fid_from_features(real, gen)}
+    if ssm_errs:
+        results["ssm_rmse"] = float(np.mean(ssm_errs))
+    return results
 
 
 def cm3p_fid(pairs, args) -> dict:

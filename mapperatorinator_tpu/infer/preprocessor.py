@@ -4,12 +4,10 @@
 Windows of ``(src_seq_len-1)*hop_length`` samples slide with stride
 ``(1-lookback-lookahead)*window`` (full window in parallel mode). Pure
 host-side numpy; the device sees only the final (num_windows, samples)
-float32 array.
+float32 array, so a whole song becomes one batched mel+encoder call.
 """
 
 from __future__ import annotations
-
-from typing import Optional
 
 import numpy as np
 
@@ -20,65 +18,57 @@ MILLISECONDS_PER_SECOND = 1000
 
 class Preprocessor:
     def __init__(self, args, parallel: bool = False):
-        self.frame_seq_len = args.train.data.src_seq_len - 1
-        self.frame_size = args.train.data.hop_length
-        self.sample_rate = args.train.data.sample_rate
-        self.samples_per_sequence = self.frame_seq_len * self.frame_size
-        self.sequence_stride = int(self.samples_per_sequence * (1 - args.lookback - args.lookahead))
+        data = args.train.data
+        self.frame_seq_len = data.src_seq_len - 1
+        self.frame_size = data.hop_length
+        self.sample_rate = data.sample_rate
+        self.normalize_audio = data.normalize_audio
         self.parallel = parallel
-        if parallel:
-            self.sequence_stride = self.samples_per_sequence
-        self.milliseconds_per_stride = self.sequence_stride * MILLISECONDS_PER_SECOND / self.sample_rate
-        self.milliseconds_per_sequence = self.samples_per_sequence * MILLISECONDS_PER_SECOND / self.sample_rate
+
+        self.samples_per_sequence = self.frame_seq_len * self.frame_size
+        overlap = 0.0 if parallel else args.lookback + args.lookahead
+        self.sequence_stride = int(self.samples_per_sequence * (1 - overlap))
+
+        ms_per_sample = MILLISECONDS_PER_SECOND / self.sample_rate
+        self.milliseconds_per_stride = self.sequence_stride * ms_per_sample
+        self.milliseconds_per_sequence = self.samples_per_sequence * ms_per_sample
         self.lookback_max_time = args.lookback * self.milliseconds_per_sequence
         self.lookahead_max_time = (1 - args.lookahead) * self.milliseconds_per_sequence
         self.start_time = args.start_time
         self.end_time = args.end_time
-        self.normalize_audio = args.train.data.normalize_audio
 
     def load(self, path: str) -> np.ndarray:
         return load_audio_file(path, self.sample_rate, normalize=self.normalize_audio)
 
-    def segment(
-        self,
-        samples: np.ndarray,
-        begin_pad: int = 0,
-        end_pad: int = 0,
-    ) -> tuple[np.ndarray, np.ndarray, float]:
+    def segment(self, samples: np.ndarray, begin_pad: int = 0, end_pad: int = 0):
         """Returns (sequences (N, samples_per_sequence) f32,
         sequence_times (N,) int32 ms, song_length ms)."""
-        song_length = len(samples) / self.sample_rate * 1000
-        samples = np.pad(samples, [begin_pad, end_pad])
+        song_length = len(samples) * MILLISECONDS_PER_SECOND / self.sample_rate
 
-        if len(samples) < self.samples_per_sequence:
-            padding_needed = self.samples_per_sequence - len(samples)
+        # right-pad so the strided view tiles the song exactly
+        padded_len = len(samples) + begin_pad + end_pad
+        if padded_len < self.samples_per_sequence:
+            total = self.samples_per_sequence
         else:
-            remainder = (len(samples) - self.samples_per_sequence) % self.sequence_stride
-            padding_needed = 0 if remainder == 0 else self.sequence_stride - remainder
+            n_strides = -(-(padded_len - self.samples_per_sequence) // self.sequence_stride)
+            total = self.samples_per_sequence + n_strides * self.sequence_stride
+        samples = np.pad(samples, [begin_pad, total - len(samples) - begin_pad])
 
-        samples = np.pad(samples, [0, padding_needed])
-        sequences = self._window(samples, self.samples_per_sequence, self.sequence_stride).astype(np.float32)
-        sequence_times = np.arange(
-            0, len(sequences) * self.milliseconds_per_stride, self.milliseconds_per_stride
-        ).astype(np.int32)
+        view = np.lib.stride_tricks.sliding_window_view(samples, self.samples_per_sequence)
+        sequences = view[:: self.sequence_stride].astype(np.float32)
+        sequence_times = (np.arange(len(sequences)) * self.milliseconds_per_stride).astype(np.int32)
 
-        if self.start_time is not None:
-            start_idx = int(np.searchsorted(sequence_times, self.start_time - self.lookahead_max_time, side="right"))
-            if start_idx == len(sequence_times):
-                start_idx -= 1
-            sequences = sequences[start_idx:]
-            sequence_times = sequence_times[start_idx:]
-        if self.end_time is not None:
-            end_idx = int(np.searchsorted(sequence_times, self.end_time - self.lookback_max_time, side="left"))
-            if end_idx == 0:
-                end_idx += 1
-            sequences = sequences[:end_idx]
-            sequence_times = sequence_times[:end_idx]
-
+        sequences, sequence_times = self._trim(sequences, sequence_times)
         return sequences, sequence_times, song_length
 
-    @staticmethod
-    def _window(a: np.ndarray, w: int, o: int) -> np.ndarray:
-        sh = (a.size - w + 1, w)
-        st = a.strides * 2
-        return np.lib.stride_tricks.as_strided(a, strides=st, shape=sh)[0::o]
+    def _trim(self, sequences, sequence_times):
+        """Drop windows fully outside the requested [start_time, end_time]."""
+        if self.start_time is not None:
+            lo = int(np.searchsorted(sequence_times, self.start_time - self.lookahead_max_time, side="right"))
+            lo = min(lo, len(sequence_times) - 1)
+            sequences, sequence_times = sequences[lo:], sequence_times[lo:]
+        if self.end_time is not None:
+            hi = int(np.searchsorted(sequence_times, self.end_time - self.lookback_max_time, side="left"))
+            hi = max(hi, 1)
+            sequences, sequence_times = sequences[:hi], sequence_times[:hi]
+        return sequences, sequence_times

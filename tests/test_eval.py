@@ -56,3 +56,20 @@ def test_get_rhythm():
     passive = get_rhythm(bm, passive=True)
     assert len(active) > 100
     assert len(passive) > len(active)
+
+
+def test_ssm_rmse():
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from calc_fid import compute_self_similarity, ssm_rmse_for_pair
+
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(10, 16)).astype(np.float32)
+    ssm = compute_self_similarity(f)
+    np.testing.assert_allclose(np.diag(ssm), 1.0, atol=1e-6)  # cosine self-sim
+    assert ssm_rmse_for_pair(f, f) == 0.0
+    g = rng.normal(size=(14, 16)).astype(np.float32)  # different window count
+    err = ssm_rmse_for_pair(f, g)
+    assert err is not None and 0 < err < 1
+    assert ssm_rmse_for_pair(np.zeros((0, 16)), g) is None
