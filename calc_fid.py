@@ -88,30 +88,115 @@ def generate_beatmaps(beatmap_paths, args, engine, vocab, logger=None) -> dict:
 
 
 def rhythm_report(pairs: list[tuple[Path, Path]]) -> dict:
-    totals = {"true_positives": 0, "false_positives": 0, "false_negatives": 0}
-    for real_path, gen_path in pairs:
-        real = get_rhythm(Beatmap.from_path(real_path))
-        gen = get_rhythm(Beatmap.from_path(gen_path))
-        stats = calculate_rhythm_stats(real, gen)
-        for k in totals:
-            totals[k] += stats[k]
-    return {
-        "rhythm_precision": calculate_precision(totals),
-        "rhythm_recall": calculate_recall(totals),
-        "rhythm_f1": calculate_f1(totals),
-    }
+    """Active and passive rhythm P/R/F1 (reference: calc_fid.py:733-755)."""
+    results = {}
+    for name, passive in (("active", False), ("passive", True)):
+        totals = {"true_positives": 0, "false_positives": 0, "false_negatives": 0}
+        for real_path, gen_path in pairs:
+            real = get_rhythm(Beatmap.from_path(real_path), passive=passive)
+            gen = get_rhythm(Beatmap.from_path(gen_path), passive=passive)
+            stats = calculate_rhythm_stats(real, gen)
+            for k in totals:
+                totals[k] += stats[k]
+        results[f"{name}_rhythm_precision"] = calculate_precision(totals)
+        results[f"{name}_rhythm_recall"] = calculate_recall(totals)
+        results[f"{name}_rhythm_f1"] = calculate_f1(totals)
+    return results
 
 
-def bpm_stats(pairs: list[tuple[Path, Path]]) -> dict:
-    errs = []
+def drain_time_seconds(beatmap: Beatmap, break_threshold_seconds: float = 8.0) -> float:
+    """First-to-last hit object span minus gaps over the break threshold
+    (reference: calc_fid.py:42-64)."""
+    times = sorted(int(h.time) for h in beatmap.hit_objects(stacking=False))
+    if len(times) < 2 or times[-1] <= times[0]:
+        return 0.0
+    thresh = break_threshold_seconds * 1000
+    breaks = sum(b - a for a, b in zip(times, times[1:]) if b - a > thresh)
+    return max(0.0, (times[-1] - times[0] - breaks) / 1000.0)
+
+
+def _bpm_segments(beatmap: Beatmap) -> list[tuple[float, float]]:
+    """Piecewise-constant BPM from redlines (reference: calc_fid.py:85-111)."""
+    segs = []
+    for tp in sorted(beatmap.timing_points, key=lambda t: t.offset):
+        if tp.bpm:
+            segs.append((tp.offset / 1000.0, float(tp.bpm)))
+    if not segs:
+        return [(0.0, 0.0)]
+    deduped: list[tuple[float, float]] = []
+    for s, bpm in segs:
+        if deduped and abs(deduped[-1][0] - s) < 1e-12:
+            deduped[-1] = (s, bpm)
+        else:
+            deduped.append((s, bpm))
+    return deduped
+
+
+def bpm_mse_for_pair(real: Beatmap, gen: Beatmap) -> tuple[float, float]:
+    """(integral of squared BPM difference over time, length) — exact over
+    the union of change points (reference: calc_fid.py:126-148)."""
+
+    def song_len(bm):
+        times = [h.time / 1000.0 for h in bm.hit_objects(stacking=False)]
+        return max(times) if times else 0.0
+
+    def bpm_at(segs, t):
+        current = segs[0][1]
+        for s, bpm in segs:
+            if s <= t + 1e-12:
+                current = bpm
+            else:
+                break
+        return current
+
+    length = max(song_len(real), song_len(gen))
+    if length <= 0:
+        return 0.0, 0.0
+    r_segs, g_segs = _bpm_segments(real), _bpm_segments(gen)
+    cps = sorted(
+        {0.0, length}
+        | {s for s, _ in r_segs if 0 <= s <= length}
+        | {s for s, _ in g_segs if 0 <= s <= length}
+    )
+    integrated = 0.0
+    for a, b in zip(cps, cps[1:]):
+        if b <= a:
+            continue
+        mid = (a + b) / 2
+        diff = bpm_at(r_segs, mid) - bpm_at(g_segs, mid)
+        integrated += diff * diff * (b - a)
+    return integrated, length
+
+
+def extra_stats(pairs: list[tuple[Path, Path]]) -> dict:
+    """Drain MSE, time-integrated BPM MSE, and star-rating MSE (via the
+    native difficulty calculator; reference uses rosu — calc_fid.py:600-712)."""
+    from mapperatorinator_tpu.native import calculate_difficulty
+
+    drain_se, drain_n = 0.0, 0
+    bpm_integ, bpm_len = 0.0, 0.0
+    sr_se, sr_n = 0.0, 0
     for real_path, gen_path in pairs:
         real = Beatmap.from_path(real_path)
         gen = Beatmap.from_path(gen_path)
-        real_bpms = [tp.bpm for tp in real.timing_points if tp.bpm]
-        gen_bpms = [tp.bpm for tp in gen.timing_points if tp.bpm]
-        if real_bpms and gen_bpms:
-            errs.append((np.median(real_bpms) - np.median(gen_bpms)) ** 2)
-    return {"bpm_mse": float(np.mean(errs)) if errs else float("nan")}
+        drain_se += (drain_time_seconds(real) - drain_time_seconds(gen)) ** 2
+        drain_n += 1
+        integ, length = bpm_mse_for_pair(real, gen)
+        bpm_integ += integ
+        bpm_len += length
+        real_sr = calculate_difficulty(path=real_path)
+        gen_sr = calculate_difficulty(path=gen_path)
+        if real_sr is not None and gen_sr is not None:
+            sr_se += (real_sr - gen_sr) ** 2
+            sr_n += 1
+    out = {}
+    if drain_n:
+        out["drain_mse"] = drain_se / drain_n
+    if bpm_len > 0:
+        out["bpm_mse"] = bpm_integ / bpm_len
+    if sr_n:
+        out["sr_mse"] = sr_se / sr_n
+    return out
 
 
 def load_classifier(args):
@@ -297,7 +382,7 @@ def main(argv=None):
     if args.rhythm_stats and pairs:
         results.update(rhythm_report(pairs))
     if args.extra_stats and pairs:
-        results.update(bpm_stats(pairs))
+        results.update(extra_stats(pairs))
     if args.fid and pairs:
         classifier_bundle = load_classifier(args)
         results.update(classifier_fid(pairs, classifier_bundle, args))
