@@ -272,6 +272,7 @@ def generate(
     refine_model=None,
     verbose=True,
     logger=None,
+    client=None,
 ):
     from mapperatorinator_tpu.infer import Preprocessor, Processor
 
@@ -288,7 +289,7 @@ def generate(
         raise ValueError("Output path is required.")
 
     preprocessor = Preprocessor(args, parallel=args.parallel)
-    processor = Processor(args, engine, vocab)
+    processor = Processor(args, engine, vocab, client=client)
     renderer = Renderer(args, logger=logger)
 
     audio = preprocessor.load(audio_path)
@@ -309,7 +310,7 @@ def generate(
         if ContextType.TIMING in output_type:
             output_type.remove(ContextType.TIMING)
     elif should_generate_timing_context(args, output_type):
-        timing_processor = Processor(args, timing_engine, timing_vocab)
+        timing_processor = Processor(args, timing_engine, timing_vocab, client=client if timing_engine is engine else None)
         timing_events, timing_times = timing_processor.generate(
             sequences=sequences,
             generation_config=generation_config,
@@ -433,6 +434,28 @@ def main(argv=None) -> None:
     engine, vocab = load_model(args)
     compile_args(args, vocab)
 
+    client = None
+    if args.use_server:
+        # cross-process batching daemon keyed on the model identity: the
+        # first process spawns it in-process, further processes connect
+        # (reference: inference.py:584-617)
+        from mapperatorinator_tpu.infer.server import (
+            InferenceClient,
+            InferenceServer,
+            get_server_address,
+            make_engine_generate_fn,
+        )
+
+        sock = get_server_address(args.model_path, getattr(args, "lora_path", None), args.gamemode)
+        client = InferenceClient(
+            server_factory=lambda: InferenceServer(
+                make_engine_generate_fn(engine, vocab),
+                max_batch_size=args.max_batch_size,
+                socket_path=sock,
+            ),
+            socket_path=sock,
+        )
+
     generation_config, beatmap_config = get_config(args)
     return generate(
         args,
@@ -440,6 +463,7 @@ def main(argv=None) -> None:
         beatmap_config=beatmap_config,
         engine=engine,
         vocab=vocab,
+        client=client,
     )
 
 

@@ -98,10 +98,14 @@ def generation_config_from_beatmap(beatmap: Beatmap, beatmap_path, vocab: Option
 
 
 class Processor:
-    def __init__(self, args, engine: DecodeEngine, vocab: Vocabulary, cfg_scale: Optional[float] = None):
+    def __init__(self, args, engine: DecodeEngine, vocab: Vocabulary, cfg_scale: Optional[float] = None,
+                 client=None):
         self.args = args
         self.engine = engine
         self.vocab = vocab
+        # when set, generation routes over IPC to the batching server
+        # (reference: processor.py:155-176 with use_server)
+        self.client = client
         data = args.train.data
         self.tgt_seq_len = data.tgt_seq_len
         self.frame_seq_len = data.src_seq_len - 1
@@ -202,6 +206,36 @@ class Processor:
         """Encode frames, assemble the (CFG-doubled) prompt batch, and run the
         compiled decode (reference: server.py:84-156)."""
         import time as _time
+
+        if self.client is not None:
+            mk = {"frames": np.asarray(frames), "decoder_input_ids": np.asarray(cond_prompt)}
+            if self.cfg_scale > 1 and uncond_prompt is not None:
+                mk["uncond_prompt"] = np.asarray(uncond_prompt)
+            mk.update({k: np.asarray(v) for k, v in model_kwargs.items()})
+            gk = {
+                "cfg_scale": self.cfg_scale,
+                "do_sample": self.do_sample,
+                "num_beams": self.num_beams,
+                "temperature": self.temperature,
+                "timing_temperature": self.timing_temperature,
+                "mania_column_temperature": self.mania_column_temperature,
+                "taiko_hit_temperature": self.taiko_hit_temperature,
+                "top_k": self.top_k,
+                "top_p": self.top_p,
+                "timeshift_bias": self.timeshift_bias,
+                "types_first": self.types_first,
+                "lookback_time": lookback_time,
+                "lookahead_time": lookahead_time,
+                "context_type": context_type.value if context_type is not None else None,
+                # no per-request seed: it would fragment the batching group
+                # key; the server varies its own seed per batch call
+                "max_length": self.tgt_seq_len,
+            }
+            tokens = self.client.generate(mk, gk)
+            stats = self.client.last_generation_stats
+            if stats:
+                self._record_generation_stats(stats)
+            return tokens
 
         pipeline = build_logits_pipeline(
             self.vocab,

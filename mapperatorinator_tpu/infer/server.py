@@ -226,6 +226,75 @@ class InferenceServer:
                 self.stop()
 
 
+def make_engine_generate_fn(engine, vocab) -> Callable:
+    """Server-side executor: rebuild the logits pipeline from the request's
+    generate_kwargs and run the compiled decode (reference: server.py:84-156).
+    The batcher groups requests by identical generate_kwargs, so each call
+    compiles/reuses one engine program."""
+    from ..decode.logits import build_logits_pipeline, get_eos_token_ids
+    from ..osu.events import ContextType
+
+    seed_counter = [0]
+
+    def generate_fn(model_kwargs: dict, generate_kwargs: dict):
+        mk = dict(model_kwargs)
+        frames = mk.pop("frames")
+        cond_prompt = mk.pop("decoder_input_ids")
+        uncond_prompt = mk.pop("uncond_prompt", None)
+
+        gk = dict(generate_kwargs)
+        cfg_scale = gk.pop("cfg_scale", 1.0)
+        num_beams = gk.pop("num_beams", 1)
+        do_sample = gk.pop("do_sample", True)
+        lookback_time = gk.pop("lookback_time", 0.0)
+        lookahead_time = gk.pop("lookahead_time", 0.0)
+        ct = gk.pop("context_type", None)
+        seed_counter[0] += 1
+        seed = gk.pop("seed", seed_counter[0])
+        max_length = gk.pop("max_length")
+
+        pipeline = build_logits_pipeline(
+            vocab, cfg_scale=cfg_scale, do_sample=do_sample,
+            lookback_max_time=lookback_time, **gk,
+        )
+        eos_ids = get_eos_token_ids(
+            vocab, lookback_time=lookback_time, lookahead_time=lookahead_time,
+            context_type=ContextType(ct) if ct else None,
+        )
+
+        encoder_states = engine.encode_with_cond(frames, mk or None)
+        t0 = time.perf_counter()
+        if cfg_scale > 1 and uncond_prompt is not None:
+            import jax.numpy as jnp
+
+            prompts = np.concatenate([uncond_prompt, cond_prompt], axis=0)
+            encoder_states = jnp.concatenate([encoder_states, encoder_states], axis=0)
+        else:
+            prompts = cond_prompt
+
+        if num_beams > 1 and not do_sample:
+            tokens, _ = engine.generate_beams(
+                encoder_states, prompts, pipeline, eos_ids, num_beams, max_length=max_length
+            )
+        else:
+            tokens, _ = engine.generate(
+                encoder_states, prompts, pipeline, eos_ids,
+                seed=seed, cfg_scale=cfg_scale, max_length=max_length,
+            )
+        elapsed = time.perf_counter() - t0
+        if cfg_scale > 1 and uncond_prompt is not None:
+            tokens = tokens[tokens.shape[0] // 2 :]
+        per_sample = (
+            (tokens != vocab.pad_id).sum(axis=1) - (cond_prompt != vocab.pad_id).sum(axis=1)
+        ).tolist()
+        return np.asarray(tokens), {
+            "generated_tokens_per_sample": per_sample,
+            "elapsed_seconds": elapsed,
+        }
+
+    return generate_fn
+
+
 class InferenceClient:
     """Connects to (or spawns) a server and proxies generate calls
     (reference: server.py:442-580)."""

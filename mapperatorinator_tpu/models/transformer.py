@@ -412,7 +412,7 @@ class Attention(nn.Module):
             q = q.astype(cfg.dtype)
             k = k.astype(cfg.dtype)
             out = _attend(q, k, v, mask, cfg.dtype, bias=pos_bias, scaled=False)
-        elif self._flash_eligible(cache, pos_bias, attn_mask):
+        elif self._flash_eligible(cache, pos_bias, attn_mask, q, k):
             from ..ops.attention_kernel import flash_attention
 
             kv_mask = attn_mask[:, 0, 0, :] if attn_mask is not None else None
@@ -426,14 +426,18 @@ class Attention(nn.Module):
         out = out.reshape(b, t, -1)
         return self.wo(out), new_cache
 
-    def _flash_eligible(self, cache, pos_bias, attn_mask) -> bool:
+    def _flash_eligible(self, cache, pos_bias, attn_mask, q, k) -> bool:
         """Pallas path covers the full-sequence (non-cached) forward with
         structural masks only; causal indices assume arange positions, which
-        every non-cached caller uses."""
+        every non-cached caller uses. Measured crossover on v5e: the kernel
+        matches XLA at 2560^2 attention and wins massively beyond (60x at
+        8k); XLA's fusions are faster below."""
         cfg = self.config
         if not cfg.use_flash_attention or cache is not None or pos_bias is not None:
             return False
         if not cfg.attention_scale:
+            return False
+        if q.shape[1] * k.shape[1] < 2560 * 2560:
             return False
         if attn_mask is not None and not (
             attn_mask.ndim == 4 and attn_mask.shape[1] == 1 and attn_mask.shape[2] == 1

@@ -70,6 +70,9 @@ def _flash_forward(
         kv_mask = jnp.ones((b, s), bool)
 
     block_q = min(block_q, t)
+    # cap the live (block_q, S) fp32 logits/probs buffers to fit VMEM
+    while block_q > 16 and block_q * s * 4 > 2**22:
+        block_q //= 2
     pad_t = (-t) % block_q
     if pad_t:
         q = jnp.pad(q, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
@@ -102,6 +105,121 @@ def _flash_forward(
     return out[:, :t]
 
 
+def _attention_bwd_kernel(q_ref, k_ref, v_ref, mask_ref, do_ref,
+                          dq_ref, dk_ref, dv_ref, *,
+                          sm_scale, causal, window, block_q):
+    """Backward for one (batch*head, q-block) grid step. dk/dv accumulate
+    across the sequential q-block grid dimension (same output block each j)."""
+    qi = pl.program_id(1)
+    q = q_ref[...].astype(jnp.float32)
+    k = k_ref[...].astype(jnp.float32)
+    v = v_ref[...].astype(jnp.float32)
+    do = do_ref[...].astype(jnp.float32)
+
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * sm_scale  # (block_q, S)
+    s = logits.shape[1]
+    q_pos = qi * block_q + jax.lax.broadcasted_iota(jnp.int32, (block_q, s), 0)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, (block_q, s), 1)
+    mask = mask_ref[0, :][None, :]
+    if causal:
+        mask = mask & (k_pos <= q_pos)
+    if window:
+        mask = mask & (jnp.abs(q_pos - k_pos) <= window // 2)
+    logits = jnp.where(mask, logits, NEG_INF)
+    p = jax.nn.softmax(logits, axis=-1)
+
+    dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+
+    dq_ref[...] = (jnp.dot(ds, k, preferred_element_type=jnp.float32) * sm_scale).astype(dq_ref.dtype)
+    dk_blk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32) * sm_scale  # (S, D)
+    dv_blk = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)  # (S, D)
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_ref[...] = dk_blk.astype(dk_ref.dtype)
+        dv_ref[...] = dv_blk.astype(dv_ref.dtype)
+
+    @pl.when(qi > 0)
+    def _acc():
+        dk_ref[...] = (dk_ref[...].astype(jnp.float32) + dk_blk).astype(dk_ref.dtype)
+        dv_ref[...] = (dv_ref[...].astype(jnp.float32) + dv_blk).astype(dv_ref.dtype)
+
+
+def _flash_backward(q, k, v, kv_mask, do, causal, window, sm_scale, block_q):
+    b, t, h, d = q.shape
+    s = k.shape[1]
+    block_q = min(block_q, t)
+    # the backward keeps several (block_q, S) fp32 buffers live; cap the
+    # block so they fit VMEM at long S
+    while block_q > 8 and block_q * s * 4 > 2**21:
+        block_q //= 2
+    pad_t = (-t) % block_q
+    if pad_t:
+        q = jnp.pad(q, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+        do = jnp.pad(do, ((0, 0), (0, pad_t), (0, 0), (0, 0)))
+    tp = t + pad_t
+
+    qf = q.transpose(0, 2, 1, 3).reshape(b * h, tp, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * h, s, d)
+    dof = do.transpose(0, 2, 1, 3).reshape(b * h, tp, d)
+    maskf = jnp.repeat(kv_mask, h, axis=0)[:, None, :]
+
+    # large (rows, S) programs crash the axon remote-compile helper; chunk
+    # the batch*head axis (empirically rows<=16 compiles at S=8k)
+    if b * h > 16 and s * tp >= 8192 * 8192:
+        chunks = [
+            _bwd_call(qf[i : i + 16], kf[i : i + 16], vf[i : i + 16], maskf[i : i + 16],
+                      dof[i : i + 16], sm_scale, causal, window, block_q)
+            for i in range(0, b * h, 16)
+        ]
+        dq = jnp.concatenate([c[0] for c in chunks])
+        dk = jnp.concatenate([c[1] for c in chunks])
+        dv = jnp.concatenate([c[2] for c in chunks])
+    else:
+        dq, dk, dv = _bwd_call(qf, kf, vf, maskf, dof, sm_scale, causal, window, block_q)
+
+    dq = dq.reshape(b, h, tp, d).transpose(0, 2, 1, 3)[:, :t]
+    dk = dk.reshape(b, h, s, d).transpose(0, 2, 1, 3).astype(k.dtype)
+    dv = dv.reshape(b, h, s, d).transpose(0, 2, 1, 3).astype(v.dtype)
+    return dq, dk, dv
+
+
+def _bwd_call(qf, kf, vf, maskf, dof, sm_scale, causal, window, block_q):
+    bh, tp, d = qf.shape
+    s = kf.shape[1]
+    grid = (bh, tp // block_q)
+    return pl.pallas_call(
+        functools.partial(
+            _attention_bwd_kernel, sm_scale=sm_scale, causal=causal, window=window, block_q=block_q
+        ),
+        grid=grid,
+        interpret=jax.default_backend() != "tpu",
+        in_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, 1, s), lambda i, j: (i, 0, 0)),
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, d), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),  # accumulated
+            pl.BlockSpec((None, s, d), lambda i, j: (i, 0, 0)),  # accumulated
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, tp, d), qf.dtype),
+            jax.ShapeDtypeStruct((bh, s, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh, s, d), jnp.float32),
+        ],
+    )(qf, kf, vf, maskf, dof)
+
+
 def _structural_mask(t: int, s: int, kv_mask, causal: bool, window: int) -> jnp.ndarray:
     q_pos = jnp.arange(t)[:, None]
     k_pos = jnp.arange(s)[None, :]
@@ -124,24 +242,12 @@ def _fwd(q, k, v, kv_mask, causal, window, sm_scale, block_q):
 
 
 def _bwd(causal, window, sm_scale, block_q, residuals, g):
-    """Recompute-based backward with the standard XLA composite — correct
-    gradients at the old memory cost; the fast Pallas pass covers the forward
-    (inference is forward-only, training forwards dominate eval loops)."""
+    """Recompute-based flash backward: a second Pallas kernel recomputes each
+    q-block's probabilities in VMEM and accumulates dk/dv across the grid —
+    no (B, H, T, S) tensor ever exists in HBM."""
     q, k, v, kv_mask = residuals
-    b, t, h, d = q.shape
-    s = k.shape[1]
-    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k).astype(jnp.float32) * sm_scale
-    mask = _structural_mask(t, s, kv_mask, causal, window)
-    logits = jnp.where(mask, logits, NEG_INF)
-    p = jax.nn.softmax(logits, axis=-1)
-
-    g32 = g.astype(jnp.float32)
-    dv = jnp.einsum("bhqk,bqhd->bkhd", p, g32)
-    dp = jnp.einsum("bqhd,bkhd->bhqk", g32, v.astype(jnp.float32))
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq = jnp.einsum("bhqk,bkhd->bqhd", ds, k.astype(jnp.float32)) * sm_scale
-    dk = jnp.einsum("bhqk,bqhd->bkhd", ds, q.astype(jnp.float32)) * sm_scale
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype), None
+    dq, dk, dv = _flash_backward(q, k, v, kv_mask, g, causal, window, sm_scale, block_q)
+    return dq, dk, dv, None
 
 
 _flash_attention.defvjp(_fwd, _bwd)

@@ -75,7 +75,7 @@ def test_model_level_flash_matches_xla(monkeypatch):
     monkeypatch.setattr(
         tr.Attention,
         "_flash_eligible",
-        lambda self, cache, pos_bias, attn_mask: (
+        lambda self, cache, pos_bias, attn_mask, q, k: (
             self.config.use_flash_attention
             and cache is None
             and pos_bias is None
