@@ -42,3 +42,18 @@ def replicate(mesh: Mesh, tree):
     """Replicate a pytree (params/opt state) across the mesh."""
     sharding = NamedSharding(mesh, P())
     return jax.tree.map(lambda x: jax.device_put(x, sharding), tree)
+
+
+def ensure_on_mesh(mesh: Mesh, tree):
+    """Replicate any leaf not already placed on this mesh (e.g. optimizer
+    counters that optax created on the default device); leaves with a
+    NamedSharding on the mesh keep their placement."""
+    replicated = NamedSharding(mesh, P())
+
+    def place(x):
+        sh = getattr(x, "sharding", None)
+        if isinstance(sh, NamedSharding) and sh.mesh == mesh:
+            return x
+        return jax.device_put(x, replicated)
+
+    return jax.tree.map(place, tree)

@@ -75,14 +75,17 @@ def make_train_step(
             return jax.tree.map(lambda _: batch_sharding, batch)
 
         def jitted(state, batch, rng):
+            # honor whatever placement the caller gave the state (replicated,
+            # tensor-parallel via parallel.shard_params, fsdp, ...); optimizer
+            # moments created from placed params already carry matching
+            # shardings, so GSPMD propagates and inserts the collectives
+            state_sh = jax.tree.map(
+                lambda x: x.sharding if hasattr(x, "sharding") else replicated, state
+            )
             fn = jax.jit(
                 train_step,
-                in_shardings=(
-                    jax.tree.map(lambda _: replicated, state),
-                    batch_spec(batch),
-                    replicated,
-                ),
-                out_shardings=(jax.tree.map(lambda _: replicated, state), None),
+                in_shardings=(state_sh, batch_spec(batch), replicated),
+                out_shardings=(state_sh, None),
                 donate_argnums=(0,),
             )
             return fn(state, batch, rng)

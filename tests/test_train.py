@@ -175,3 +175,59 @@ def test_sharded_train_step(optimizer):
         losses.append(float(metrics["loss"]))
     assert all(np.isfinite(losses))
     assert losses[-1] < losses[0]  # memorizes the fixed batch
+
+
+def test_tensor_parallel_step_matches_data_parallel():
+    """dp4 x tp2 mesh produces the same loss/step as dp8 with replicated
+    params (GSPMD collectives preserve the math)."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import __graft_entry__ as g
+    from mapperatorinator_tpu.parallel import param_specs, shard_batch, shard_params
+    from mapperatorinator_tpu.parallel.mesh import ensure_on_mesh, make_mesh, replicate
+    from mapperatorinator_tpu.train import make_train_step
+    from mapperatorinator_tpu.train.optim import build_optimizer
+    from mapperatorinator_tpu.train.step import init_train_state
+
+    model, args, vocab = g._tiny_v32_model(d_model=32, layers=1, heads=2, ffn=64, tgt_len=32, src_len=64)
+    args.optim.name = "adamwscale"
+    args.optim.warmup_steps = 10
+    args.optim.total_steps = 100
+
+    rng = np.random.default_rng(0)
+    hop = 128
+    batch_data = {
+        "frames": rng.standard_normal((8, hop * 63)).astype(np.float32),
+        "decoder_input_ids": rng.integers(0, vocab.vocab_size_in, (8, 32)).astype(np.int32),
+        "decoder_attention_mask": np.ones((8, 32), np.int32),
+        "labels": rng.integers(0, vocab.vocab_size_out, (8, 32)).astype(np.int32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0),
+        frames=jnp.asarray(batch_data["frames"][:1]),
+        decoder_input_ids=jnp.asarray(batch_data["decoder_input_ids"][:1]),
+    )
+    tx = build_optimizer(args)
+    params = jax.device_get(params)  # host copy: the jitted step donates its input state
+
+    losses = {}
+    for name, (shape, tensor) in {"dp8": ((8,), None), "dp4tp2": ((4, 2), "tensor")}.items():
+        devices = np.asarray(jax.devices()[:8]).reshape(shape)
+        mesh = Mesh(devices, ("data",) if tensor is None else ("data", "tensor"))
+        if tensor:
+            p = shard_params(mesh, params, tensor_axis=tensor)
+            specs = param_specs(params, tensor_axis=tensor, mesh=mesh)
+            n_tp = sum(1 for s in jax.tree.leaves(specs, is_leaf=lambda x: hasattr(x, "index"))
+                       if "tensor" in str(s))
+            assert n_tp > 0
+        else:
+            p = replicate(mesh, params)
+        state = ensure_on_mesh(mesh, init_train_state(p, tx))
+        step_fn = make_train_step(model, tx, mesh=mesh)
+        _, metrics = step_fn(state, shard_batch(mesh, batch_data), jax.random.PRNGKey(1))
+        losses[name] = float(metrics["loss"])
+
+    assert np.isfinite(losses["dp8"])
+    # sharded contractions change fp summation order; ~1e-4 drift expected
+    assert abs(losses["dp8"] - losses["dp4tp2"]) < 2e-3, losses

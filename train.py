@@ -115,6 +115,23 @@ def main(argv=None):
               f"({sum(x.size for x in jax.tree.leaves(params))} trainable params)")
 
     tx = build_optimizer(args, num_processes=n_devices)
+
+    if args.parallel.tensor_axis or args.parallel.fsdp_axis:
+        # Megatron-style tensor parallelism and/or FSDP via GSPMD param
+        # placement; moments created from placed params inherit the
+        # shardings, and the train step reads them off the state
+        from mapperatorinator_tpu.parallel import shard_params
+        from mapperatorinator_tpu.parallel.mesh import ensure_on_mesh
+
+        params = shard_params(
+            mesh, params,
+            tensor_axis=args.parallel.tensor_axis,
+            fsdp_axis=args.parallel.fsdp_axis,
+        )
+        place = lambda tree: ensure_on_mesh(mesh, tree)  # noqa: E731
+    else:
+        place = lambda tree: replicate(mesh, tree)  # noqa: E731
+
     state = init_train_state(params, tx)
 
     ckpt_dir = Path(args.checkpoint_path or "checkpoints").resolve()
@@ -124,7 +141,7 @@ def main(argv=None):
         print(f"Resuming from checkpoint step {latest}")
         state = checkpoints.restore(state)
 
-    state = replicate(mesh, state)
+    state = place(state)
     if args.enable_lora:
         base_step = make_lora_train_step(
             model, tx, replicate(mesh, base_params), alpha=lora_alpha,
