@@ -164,6 +164,7 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
         local_attention=m.local_attention,
         norm=norm,
         norm_scheme=norm_scheme,
+        remat=bool(getattr(getattr(train_args, "parallel", None), "remat", False)),
         attention_bias=attention_bias,
         attention_scale=attention_scale,
         ffn_gated=ffn_gated,

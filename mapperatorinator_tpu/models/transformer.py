@@ -70,6 +70,9 @@ class TransformerConfig:
     # (the XLA composite materializes (B, H, T, S) fp32 logits in HBM; the
     # kernel keeps them in VMEM — 50x faster at T=8k)
     use_flash_attention: bool = True
+    # jax.checkpoint each layer: recompute activations in the backward pass,
+    # trading FLOPs for HBM (enables bigger batches / longer windows)
+    remat: bool = False
     attention_bias: bool = True
     attention_scale: bool = True  # T5 omits the 1/sqrt(d) scale
     ffn_gated: bool = False  # T5 v1.1 gated activation: act(wi_0) * wi_1
@@ -594,9 +597,11 @@ class Encoder(nn.Module):
             pos_bias = RelativePositionBias(cfg, cfg.encoder_heads, bidirectional=True,
                                             name="rel_bias")(jnp.arange(t), jnp.arange(t))
 
+        # deterministic (arg 5 incl. self) stays static under remat
+        layer_cls = nn.remat(EncoderLayer, static_argnums=(5,)) if cfg.remat else EncoderLayer
         for i in range(cfg.encoder_layers):
-            x = EncoderLayer(cfg, layer_idx=i, name=f"layers_{i}")(
-                x, positions, pos_bias=pos_bias, deterministic=deterministic
+            x = layer_cls(cfg, layer_idx=i, name=f"layers_{i}")(
+                x, positions, None, pos_bias, deterministic
             )
         return Norm(cfg, name="norm")(x)
 
@@ -615,8 +620,9 @@ class Decoder(nn.Module):
             )
         if cfg.position_scheme == "t5_relpos":
             self.rel_bias = RelativePositionBias(cfg, cfg.decoder_heads, bidirectional=False, name="rel_bias")
+        layer_cls = nn.remat(DecoderLayer, static_argnums=(9,)) if cfg.remat else DecoderLayer
         self.layers = [
-            DecoderLayer(cfg, layer_idx=i, name=f"layers_{i}") for i in range(cfg.decoder_layers)
+            layer_cls(cfg, layer_idx=i, name=f"layers_{i}") for i in range(cfg.decoder_layers)
         ]
         self.norm = Norm(cfg, name="norm")
 
@@ -650,15 +656,17 @@ class Decoder(nn.Module):
         new_caches = []
         for i, layer in enumerate(self.layers):
             layer_cache = cache[i] if cache is not None else None
+            # positional args so deterministic (9) stays static under remat
             x, new_cache = layer(
                 x,
                 encoder_states,
                 positions,
-                self_mask=self_mask,
-                cross_mask=cross_mask,
-                cache=layer_cache,
-                cache_index=cache_index,
-                deterministic=deterministic,
+                self_mask,
+                cross_mask,
+                layer_cache,
+                cache_index,
+                pos_bias,
+                deterministic,
             )
             new_caches.append(new_cache)
         x = self.norm(x)

@@ -344,3 +344,41 @@ def test_dynamic_ntk_rope():
     out_dyn_s = m_dyn.apply(params, features=feats, decoder_input_ids=ids_short)
     out_def_s = m_def.apply(params, features=feats, decoder_input_ids=ids_short)
     np.testing.assert_allclose(np.asarray(out_dyn_s), np.asarray(out_def_s), atol=1e-6)
+
+
+def test_remat_matches_no_remat():
+    """jax.checkpoint'd layers produce identical loss and gradients."""
+    import dataclasses
+
+    base = dict(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_heads=2, decoder_heads=2, encoder_ffn=64, decoder_ffn=64,
+        max_source_positions=16, max_target_positions=32, num_mel_bins=32,
+        position_scheme="rope", norm="rms", conv_stem=False,
+    )
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(2, 16, 32)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 60, (2, 12)), jnp.int32)
+
+    m_plain = OsuTransformer(TransformerConfig(**base))
+    m_remat = OsuTransformer(TransformerConfig(**base, remat=True))
+    params = m_plain.init(jax.random.PRNGKey(0), features=feats, decoder_input_ids=ids)
+
+    def loss(model, p):
+        return (model.apply(p, features=feats, decoder_input_ids=ids).astype(jnp.float32) ** 2).mean()
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(m_plain, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(m_remat, p))(params)
+    assert float(l0) == pytest.approx(float(l1), abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    # cached decode still works with remat'd layers
+    enc = m_remat.apply(params, feats, method=lambda m, f: m.encoder(f))
+    cache = m_remat.apply(params, 2, 16, enc, method=lambda m, b, l, e: m.init_cache(b, l, e))
+    emb = m_remat.apply(params, ids[:, :1], method=lambda m, i: m.decoder.embed(i))
+    logits, cache = m_remat.apply(
+        params, emb, cache, 0,
+        method=lambda m, e, c, i: m.decode_step(e, c, i, positions=jnp.zeros((2, 1), jnp.int32)),
+    )
+    assert np.isfinite(np.asarray(logits)).all()
