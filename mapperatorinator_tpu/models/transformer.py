@@ -73,6 +73,10 @@ class TransformerConfig:
     # jax.checkpoint each layer: recompute activations in the backward pass,
     # trading FLOPs for HBM (enables bigger batches / longer windows)
     remat: bool = False
+    # weight-only int8 for the dense projections (inference): halves the HBM
+    # weight traffic that bounds batch-1 autoregressive decode; per-output-
+    # channel scales, biases/norms/embeddings stay fp
+    quantized_weights: bool = False
     attention_bias: bool = True
     attention_scale: bool = True  # T5 omits the 1/sqrt(d) scale
     ffn_gated: bool = False  # T5 v1.1 gated activation: act(wi_0) * wi_1
@@ -276,6 +280,55 @@ def dynamic_ntk_theta(theta: float, head_dim: int, seq_len: int, max_positions: 
     return theta * scale ** (head_dim / (head_dim - 2))
 
 
+class QDense(nn.Module):
+    """Weight-only int8 dense: y = (x @ int8_kernel) * per-channel scale.
+
+    XLA fuses the int8->compute-dtype convert into the matmul's operand read,
+    so only int8 weights cross HBM — the bound resource in batch-1 decode.
+    Populate params with :func:`quantize_params` from a trained fp tree.
+    """
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        kernel_q = self.param(
+            "kernel_q", nn.initializers.zeros, (x.shape[-1], self.features), jnp.int8
+        )
+        scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
+        y = (x.astype(self.dtype) @ kernel_q.astype(self.dtype)) * scale.astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+def quantize_params(params, bits: int = 8):
+    """fp param tree -> int8 weight-only tree for quantized_weights=True
+    models: every 2-D ``kernel`` becomes ``kernel_q`` (int8) + per-output-
+    channel ``scale``; everything else passes through."""
+    import flax
+    import numpy as np
+
+    qmax = 2 ** (bits - 1) - 1
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    out = {}
+    for path, leaf in flat.items():
+        arr = np.asarray(leaf)
+        if path.endswith("/kernel") and arr.ndim == 2:
+            scale = np.maximum(np.abs(arr).max(axis=0), 1e-8) / qmax
+            q = np.clip(np.round(arr / scale[None, :]), -qmax - 1, qmax).astype(np.int8)
+            base = path[: -len("kernel")]
+            out[base + "kernel_q"] = q
+            out[base + "scale"] = scale.astype(np.float32)
+        else:
+            out[path] = arr
+    return flax.traverse_util.unflatten_dict(out, sep="/")
+
+
 class Attention(nn.Module):
     """Self or cross attention; optional RoPE, causal and sliding-window
     masking, and single-step cached decode."""
@@ -304,7 +357,8 @@ class Attention(nn.Module):
                                        cfg.param_dtype, name="qk_scale")
             return
         bias = cfg.attention_bias
-        dense = lambda feats, name: nn.Dense(
+        dense_cls = QDense if cfg.quantized_weights else nn.Dense
+        dense = lambda feats, name: dense_cls(
             feats, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name=name
         )
         if self.is_cross:
@@ -463,12 +517,13 @@ class FeedForward(nn.Module):
             h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
             return NormDense(cfg.d_model, norm_dim_in=False, dtype=cfg.dtype,
                              param_dtype=cfg.param_dtype, name="fc2")(h)
-        h = nn.Dense(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
+        dense_cls = QDense if cfg.quantized_weights else nn.Dense
+        h = dense_cls(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
         h = act(h)
         if cfg.ffn_gated:  # T5 v1.1 gated activation
-            h = h * nn.Dense(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1_gate")(x)
+            h = h * dense_cls(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1_gate")(x)
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
-        h = nn.Dense(cfg.d_model, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(h)
+        h = dense_cls(cfg.d_model, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(h)
         return h
 
 
@@ -699,7 +754,8 @@ class OsuTransformer(nn.Module):
                 cfg.vocab_size, 1.0, cfg.d_model**-0.5, cfg.param_dtype, name="logit_scale"
             )
         elif not cfg.tie_word_embeddings:
-            self.proj_out = nn.Dense(
+            head_cls = QDense if cfg.quantized_weights else nn.Dense
+            self.proj_out = head_cls(
                 cfg.vocab_size, use_bias=False, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="proj_out"
             )
 

@@ -382,3 +382,45 @@ def test_remat_matches_no_remat():
         method=lambda m, e, c, i: m.decode_step(e, c, i, positions=jnp.zeros((2, 1), jnp.int32)),
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_quantized_weights_close_to_fp():
+    """Weight-only int8: small logits error, matching argmax, decode works."""
+    from mapperatorinator_tpu.models.transformer import quantize_params
+
+    base = dict(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_heads=2, decoder_heads=2, encoder_ffn=64, decoder_ffn=64,
+        max_source_positions=16, max_target_positions=32, num_mel_bins=32,
+        position_scheme="rope", norm="rms", conv_stem=False,
+    )
+    m = OsuTransformer(TransformerConfig(**base))
+    mq = OsuTransformer(TransformerConfig(**base, quantized_weights=True))
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.normal(size=(1, 16, 32)), jnp.float32)
+    ids = jnp.asarray(rng.integers(3, 60, (1, 12)), jnp.int32)
+    params = m.init(jax.random.PRNGKey(0), features=feats, decoder_input_ids=ids)
+    pq = quantize_params(params)
+
+    # int8 kernels present
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(pq, sep="/")
+    assert any(k.endswith("kernel_q") for k in flat)
+    assert all(v.dtype == np.int8 for k, v in flat.items() if k.endswith("kernel_q"))
+
+    out = m.apply(params, features=feats, decoder_input_ids=ids)
+    outq = mq.apply(pq, features=feats, decoder_input_ids=ids)
+    rel = float(jnp.abs(out - outq).max() / (jnp.abs(out).max() + 1e-9))
+    assert rel < 0.05
+    assert float((out.argmax(-1) == outq.argmax(-1)).mean()) > 0.9
+
+    # cached decode runs on the quantized model
+    enc = mq.apply(pq, feats, method=lambda m, f: m.encoder(f))
+    cache = mq.apply(pq, 1, 16, enc, method=lambda m, b, l, e: m.init_cache(b, l, e))
+    emb = mq.apply(pq, ids[:, :1], method=lambda m, i: m.decoder.embed(i))
+    logits, _ = mq.apply(
+        pq, emb, cache, 0,
+        method=lambda m, e, c, i: m.decode_step(e, c, i, positions=jnp.zeros((1, 1), jnp.int32)),
+    )
+    assert np.isfinite(np.asarray(logits)).all()
