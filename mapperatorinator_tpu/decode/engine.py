@@ -152,11 +152,15 @@ class DecodeEngine:
         decoder_attention_mask: Optional[np.ndarray] = None,
         max_length: Optional[int] = None,
         length_penalty: float = 1.0,
+        seed: int = 0,
     ) -> np.ndarray:
-        """HF-style beam search (num_beams > 1, do_sample=False; reference
-        uses GenerationMixin beam search for the super-timing generator when
-        timer_num_beams > 1). CFG dual-batching is not combined with beams.
-        Returns (B, max_length) right-padded best hypotheses."""
+        """HF-style beam search (num_beams > 1; reference uses GenerationMixin
+        beam search / beam sample for the super-timing generator when
+        timer_num_beams > 1). With a sampling pipeline the 2N candidates are
+        drawn without replacement via gumbel-top-k on the processed scores
+        (distributionally HF's multinomial draw). CFG dual-batching is not
+        combined with beams. Returns (B, max_length) right-padded best
+        hypotheses."""
         max_length = max_length or self.max_length
         B, P_orig = decoder_input_ids.shape
         assert P_orig < max_length
@@ -187,6 +191,7 @@ class DecodeEngine:
             jnp.asarray(decoder_attention_mask, bool),
             jnp.asarray(eos_mask),
             jnp.asarray(gen_limit, jnp.int32),
+            jax.random.PRNGKey(seed),
         )
         return np.asarray(tokens), np.asarray(lengths)
 
@@ -252,7 +257,7 @@ class DecodeEngine:
         buffer_len = P + max_length
 
         @jax.jit
-        def generate(params, encoder_states, prompt_ids, prompt_mask, eos_mask, gen_limit):
+        def generate(params, encoder_states, prompt_ids, prompt_mask, eos_mask, gen_limit, rng):
             # expand to beams: (B, ...) -> (B*N, ...)
             enc = jnp.repeat(encoder_states, N, axis=0)
             prompt_ids_bn = jnp.repeat(prompt_ids, N, axis=0)
@@ -289,7 +294,17 @@ class DecodeEngine:
                 logp = jax.nn.log_softmax(scores, axis=-1)  # (BN, V)
                 cand = carry.beam_scores[:, :, None] + logp.reshape(B, N, vocab)
                 cand = cand.reshape(B, N * vocab)
-                top_vals, top_idx = jax.lax.top_k(cand, 2 * N)  # (B, 2N)
+                rng2 = carry.rng
+                if pipeline.do_sample:
+                    # beam sample: 2N draws without replacement from
+                    # softmax(cand) == gumbel-top-2N on cand; accumulated
+                    # scores stay un-noised
+                    rng2, sub = jax.random.split(rng2)
+                    gumbel = jax.random.gumbel(sub, cand.shape, cand.dtype)
+                    _, top_idx = jax.lax.top_k(cand + gumbel, 2 * N)
+                    top_vals = jnp.take_along_axis(cand, top_idx, axis=1)
+                else:
+                    top_vals, top_idx = jax.lax.top_k(cand, 2 * N)  # (B, 2N)
                 beam_idx = top_idx // vocab
                 token_ids = (top_idx % vocab).astype(jnp.int32)
                 is_eos = eos_mask[jnp.clip(token_ids, 0, eos_mask.shape[0] - 1)]
@@ -339,7 +354,7 @@ class DecodeEngine:
                     tokens=tokens2, attention_mask=attn2, cache=cache2,
                     cur_len=cur_len + 1, n_valid=n_valid2, beam_scores=sel_vals,
                     fin_scores=keep_vals, fin_tokens=fin_tokens2, fin_lengths=fin_lengths2,
-                    logits_state=lstate3,
+                    logits_state=lstate3, rng=rng2,
                 )
 
             carry = BeamCarry(
@@ -347,6 +362,7 @@ class DecodeEngine:
                 cur_len=jnp.asarray(P, jnp.int32), n_valid=n_valid,
                 beam_scores=beam_scores, fin_scores=fin_scores,
                 fin_tokens=fin_tokens, fin_lengths=fin_lengths, logits_state=lstate,
+                rng=rng,
             )
             carry = step(carry, last_logits)
 
@@ -526,3 +542,4 @@ class BeamCarry(NamedTuple):
     fin_tokens: jnp.ndarray  # (B, N, buffer_len)
     fin_lengths: jnp.ndarray  # (B, N)
     logits_state: Any
+    rng: jnp.ndarray

@@ -269,10 +269,10 @@ class Processor:
             prompts = cond_prompt
 
         t0 = _time.perf_counter()
-        if self.num_beams > 1 and not self.do_sample:
-            # beam search (reference: HF GenerationMixin num_beams path, used
-            # by the super-timing generator when timer_num_beams > 1); beams
-            # are not combined with CFG dual-batching
+        if self.num_beams > 1:
+            # beam search / beam sample (reference: HF GenerationMixin
+            # num_beams paths, used by the super-timing generator when
+            # timer_num_beams > 1); beams are not combined with CFG
             assert self.cfg_scale <= 1 or uncond_prompt is None, "beams + CFG unsupported"
             tokens, _ = self.engine.generate_beams(
                 encoder_states,
@@ -281,6 +281,7 @@ class Processor:
                 eos_ids=eos_ids,
                 num_beams=self.num_beams,
                 max_length=self.tgt_seq_len,
+                seed=self._next_seed(),
             )
         else:
             tokens, _ = self.engine.generate(

@@ -272,9 +272,10 @@ def make_engine_generate_fn(engine, vocab) -> Callable:
         else:
             prompts = cond_prompt
 
-        if num_beams > 1 and not do_sample:
+        if num_beams > 1:
             tokens, _ = engine.generate_beams(
-                encoder_states, prompts, pipeline, eos_ids, num_beams, max_length=max_length
+                encoder_states, prompts, pipeline, eos_ids, num_beams,
+                max_length=max_length, seed=seed,
             )
         else:
             tokens, _ = engine.generate(

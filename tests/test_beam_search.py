@@ -112,3 +112,16 @@ def test_beam_one_matches_greedy(setup):
     gb = [[t for t in row if t != 0] for row in beam_tokens.tolist()]
     gg = [[t for t in row if t != 0] for row in greedy_tokens.tolist()]
     assert gb == gg
+
+
+def test_beam_sample_runs_and_varies(setup):
+    """Sampling pipeline + beams = beam sample: valid output, seed-dependent."""
+    model, params, engine, enc, vocab = setup
+    pipeline = build_logits_pipeline(vocab, temperature=1.5, do_sample=True)
+    prompt = np.asarray([[1, 5, 9], [1, 7, 11]], np.int32)
+    t1, _ = engine.generate_beams(enc, prompt, pipeline, [2], num_beams=2, max_length=16, seed=1)
+    t2, _ = engine.generate_beams(enc, prompt, pipeline, [2], num_beams=2, max_length=16, seed=2)
+    t1b, _ = engine.generate_beams(enc, prompt, pipeline, [2], num_beams=2, max_length=16, seed=1)
+    assert (t1 >= 0).all() and t1.shape == t2.shape
+    assert np.array_equal(t1, t1b)  # deterministic per seed
+    assert not np.array_equal(t1, t2)  # varies across seeds
