@@ -131,6 +131,20 @@ def main(argv=None):
         if not progressed:
             break
     checkpoints.save(step, {"params": params, "ema": ema_params})
+    # portable bundle consumed by inference.py's generate_positions path
+    import dataclasses
+    import json
+
+    import flax
+
+    final_dir = Path(args.checkpoint_path or "diffusion_checkpoints") / "final"
+    final_dir.mkdir(parents=True, exist_ok=True)
+    with open(final_dir / "params.msgpack", "wb") as f:
+        f.write(flax.serialization.to_bytes(ema_params))  # EMA weights for sampling
+    with open(final_dir / "dit_config.json", "w", encoding="utf-8") as f:
+        json.dump({k: (v if not isinstance(v, type) else str(v)) for k, v in dataclasses.asdict(cfg).items()
+                   if k != "dtype"}, f)
+    print(f"Saved final diffusion model to {final_dir}")
     logger.close()
     return params, ema_params
 

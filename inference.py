@@ -415,6 +415,38 @@ def load_model(args):
     return engine, vocab
 
 
+
+def load_diffusion_model(ckpt_path):
+    """Load a DiT bundle exported by diffusion_train.py (dit_config.json +
+    params.msgpack with EMA weights). Returns (model, params) or None when the
+    path is missing (reference: inference.py:659-682 loads diff_ckpt)."""
+    import json
+
+    import flax
+    import jax
+    import jax.numpy as jnp
+
+    from mapperatorinator_tpu.models.dit import DiT, DiTConfig
+
+    path = Path(ckpt_path)
+    if not ckpt_path or not (path / "params.msgpack").exists():
+        return None
+    with open(path / "dit_config.json", encoding="utf-8") as f:
+        cfg = DiTConfig(**json.load(f))
+    model = DiT(cfg)
+    seq = 8
+    template = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, seq, cfg.in_channels)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, seq, cfg.context_size)),
+        jnp.zeros((1, cfg.class_size)),
+    )
+    with open(path / "params.msgpack", "rb") as f:
+        params = flax.serialization.from_bytes(template, f.read())
+    return model, params
+
+
 def main(argv=None) -> None:
     argv = sys.argv[1:] if argv is None else argv
     config_name = "v32"
@@ -456,6 +488,13 @@ def main(argv=None) -> None:
             socket_path=sock,
         )
 
+    diff_model, refine_model = None, None
+    if args.generate_positions:
+        diff_model = load_diffusion_model(args.diff_ckpt)
+        refine_model = load_diffusion_model(args.diff_refine_ckpt)
+        if diff_model is None:
+            print(f"diffusion checkpoint {args.diff_ckpt!r} not found; positions stay as generated")
+
     generation_config, beatmap_config = get_config(args)
     return generate(
         args,
@@ -464,6 +503,8 @@ def main(argv=None) -> None:
         engine=engine,
         vocab=vocab,
         client=client,
+        diff_model=diff_model,
+        refine_model=refine_model,
     )
 
 
