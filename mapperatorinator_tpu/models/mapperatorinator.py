@@ -111,22 +111,34 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
     attention_scale, attention_bias, ffn_gated = True, m.attention_bias, False
     conv_stem = True
     norm_scheme = "prenorm"
+    input_vocab_size = None
+    norm_eps = None
+    activation = "gelu"
+    mlp_bias = True
     if name.startswith("OliBomby/nwhisper") or name.startswith("olibomby/nwhisper"):
         dims = _whisper_size(name)
         position_scheme, norm = "whisper_abs", "layer"
         norm_scheme = "ngpt"
+        # the backbone embeds in-vocab decoder ids itself
+        # (reference configuration_mapperatorinator.py:110-111)
+        input_vocab_size = vocab.vocab_size_in
     elif name.startswith("google/t5"):
         dims = _t5_size(name)
         head_dim_override = dims["head_dim"]
         position_scheme, norm = "t5_relpos", "rms"
         attention_scale, attention_bias, ffn_gated = False, False, True
+        mlp_bias = False
         conv_stem = False
+        norm_eps = 1e-6  # T5 layer_norm_epsilon
+        activation = "gelu_tanh"  # HF gated-gelu uses gelu_new (tanh form)
     elif name.startswith("OliBomby/varwhisper"):
         dims = _whisper_size(name)
         position_scheme, norm = "rope", "rms"
     elif name.startswith("Tiger14n/ropewhisper"):
         dims = _whisper_size(name)
-        position_scheme, norm = "rope", "layer"
+        # RoPEWhisper normalizes with nn.RMSNorm throughout
+        # (reference modeling_ropewhisper.py:768,774,847-859,1150,1316)
+        position_scheme, norm = "rope", "rms"
     elif name.startswith("UsefulSensors/moonshine"):
         # the reference's moonshine branch is unimportable in its own repo
         # (custom_transformers exports no MoonshineConfig;
@@ -150,6 +162,7 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
         decoder_heads=overwrite.pop("decoder_attention_heads", dims["heads"]),
         encoder_ffn=overwrite.pop("encoder_ffn_dim", dims["ffn"]),
         decoder_ffn=overwrite.pop("decoder_ffn_dim", dims["ffn"]),
+        activation=activation,
         dropout=dropout,
         max_source_positions=train_args.data.src_seq_len // 2,
         max_target_positions=train_args.data.tgt_seq_len,
@@ -163,11 +176,14 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
         global_attn_every_n_layers=m.global_attn_every_n_layers,
         local_attention=m.local_attention,
         norm=norm,
+        norm_eps=norm_eps,
         norm_scheme=norm_scheme,
         remat=bool(getattr(getattr(train_args, "parallel", None), "remat", False)),
         attention_bias=attention_bias,
         attention_scale=attention_scale,
+        mlp_bias=mlp_bias,
         ffn_gated=ffn_gated,
+        input_vocab_size=input_vocab_size,
         head_dim_override=head_dim_override,
         conv_stem=conv_stem,
         tie_word_embeddings=tie,
@@ -232,11 +248,11 @@ class DifficultyEmbedder(nn.Module):
     def __call__(self, difficulty: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
         basis = RBFEmbedder(self.num_basis, self.dtype, name="rbf")(difficulty / self.max_difficulty)
         h = nn.Dense(self.hidden_size, dtype=self.dtype, name="proj1")(basis)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(h)
         h = nn.relu(h)
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         h = nn.Dense(self.hidden_size, dtype=self.dtype, name="proj2")(h)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
 
 
 class MapperStyleEmbedder(nn.Module):
@@ -250,7 +266,7 @@ class MapperStyleEmbedder(nn.Module):
         ids = jnp.clip(ids, 0, self.num_mappers)
         emb = nn.Embed(self.num_mappers + 1, self.embedding_dim, dtype=self.dtype, name="table")(ids)
         emb = nn.Dropout(0.1)(emb, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(emb)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(emb)
 
 
 class SongPositionEmbedder(nn.Module):
@@ -263,11 +279,11 @@ class SongPositionEmbedder(nn.Module):
         rbf = RBFEmbedder(self.num_basis, self.dtype, name="rbf")
         combined = jnp.concatenate([rbf(position_range[:, 0]), rbf(position_range[:, 1])], axis=-1)
         h = nn.Dense(self.hidden_size * 2, dtype=self.dtype, name="proj1")(combined)
-        h = nn.LayerNorm(dtype=self.dtype, name="norm1")(h)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm1")(h)
         h = nn.relu(h)
         h = nn.Dropout(0.1)(h, deterministic=deterministic)
         h = nn.Dense(self.hidden_size, dtype=self.dtype, name="proj2")(h)
-        return nn.LayerNorm(dtype=self.dtype, name="norm2")(h)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm2")(h)
 
 
 class Mapperatorinator(nn.Module):

@@ -60,12 +60,25 @@ class TransformerConfig:
     relative_attention_num_buckets: int = 32
     relative_attention_max_distance: int = 128
 
+    # decoder input embedding table size when it differs from the output
+    # vocab (NWhisper embeds in-vocab ids inside the backbone:
+    # reference configuration_nwhisper.py:75,105, modeling_nwhisper.py:1448)
+    input_vocab_size: Optional[int] = None
+
     # structure
     norm: str = "rms"  # "rms" | "layer"
+    # None -> torch defaults (RMSNorm: fp32 eps 1.19e-7; LayerNorm: 1e-5);
+    # T5 uses layer_norm_epsilon=1e-6
+    norm_eps: Optional[float] = None
     # "prenorm" (default) or "ngpt": nGPT-style hypersphere blocks with
     # l2-normalized weights, slerp residuals, and no norm layers
     # (reference: modeling_nwhisper.py:86-262, 812-1010)
     norm_scheme: str = "prenorm"
+    # nGPT slerp-rate inits (reference configuration_nwhisper.py:54-71
+    # defaults: residual alphas 0.05, positional alphas 0.1). The stored
+    # param is ``scale``; the forward multiplier init/scale is structural.
+    ngpt_alpha_init: float = 0.05
+    ngpt_alpha_pos_init: float = 0.1
     # route eligible full-sequence attention through the Pallas kernel on TPU
     # (the XLA composite materializes (B, H, T, S) fp32 logits in HBM; the
     # kernel keeps them in VMEM — 50x faster at T=8k)
@@ -79,6 +92,7 @@ class TransformerConfig:
     quantized_weights: bool = False
     attention_bias: bool = True
     attention_scale: bool = True  # T5 omits the 1/sqrt(d) scale
+    mlp_bias: bool = True  # T5 feed-forward projections carry no biases
     ffn_gated: bool = False  # T5 v1.1 gated activation: act(wi_0) * wi_1
     conv_stem: bool = True  # whisper conv1(k3s1) + conv2(k3s2) front
     scale_embedding: bool = False
@@ -112,9 +126,11 @@ class Norm(nn.Module):
         if cfg.norm_scheme == "ngpt":  # hidden states are already unit-norm
             return x
         if cfg.norm == "rms":
-            # eps matches torch.nn.RMSNorm(eps=None) on fp32 inputs
-            return nn.RMSNorm(epsilon=1.1920929e-7, dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
-        return nn.LayerNorm(epsilon=1e-5, dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
+            # default eps matches torch.nn.RMSNorm(eps=None) on fp32 inputs
+            eps = cfg.norm_eps if cfg.norm_eps is not None else 1.1920929e-7
+            return nn.RMSNorm(epsilon=eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
+        eps = cfg.norm_eps if cfg.norm_eps is not None else 1e-5
+        return nn.LayerNorm(epsilon=eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
 
 
 def rope_frequencies(head_dim: int, theta: float) -> jnp.ndarray:
@@ -510,7 +526,14 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
-        act = {"gelu": nn.gelu, "relu": nn.relu, "silu": nn.silu}[cfg.activation]
+        # torch ACT2FN["gelu"] is the exact erf form; "gelu_tanh" is torch's
+        # gelu_new / gelu_pytorch_tanh (T5 v1.1 gated-gelu)
+        act = {
+            "gelu": lambda v: nn.gelu(v, approximate=False),
+            "gelu_tanh": nn.gelu,
+            "relu": nn.relu,
+            "silu": nn.silu,
+        }[cfg.activation]
         if cfg.norm_scheme == "ngpt":
             h = NormDense(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
             h = act(h)
@@ -518,12 +541,13 @@ class FeedForward(nn.Module):
             return NormDense(cfg.d_model, norm_dim_in=False, dtype=cfg.dtype,
                              param_dtype=cfg.param_dtype, name="fc2")(h)
         dense_cls = QDense if cfg.quantized_weights else nn.Dense
-        h = dense_cls(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
+        bias = cfg.mlp_bias
+        h = dense_cls(self.ffn_dim, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
         h = act(h)
         if cfg.ffn_gated:  # T5 v1.1 gated activation
-            h = h * dense_cls(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1_gate")(x)
+            h = h * dense_cls(self.ffn_dim, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1_gate")(x)
         h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
-        h = dense_cls(cfg.d_model, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(h)
+        h = dense_cls(cfg.d_model, use_bias=bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc2")(h)
         return h
 
 
@@ -536,8 +560,8 @@ class EncoderLayer(nn.Module):
         self.self_attn = Attention(cfg, cfg.encoder_heads, is_causal=False, layer_idx=self.layer_idx, name="self_attn")
         self.ffn = FeedForward(cfg, cfg.encoder_ffn, name="ffn")
         if cfg.norm_scheme == "ngpt":
-            self.attn_residual = HyperResidual(cfg.d_model, param_dtype=cfg.param_dtype, name="attn_residual")
-            self.ffn_residual = HyperResidual(cfg.d_model, param_dtype=cfg.param_dtype, name="ffn_residual")
+            self.attn_residual = HyperResidual(cfg.d_model, cfg.ngpt_alpha_init, param_dtype=cfg.param_dtype, name="attn_residual")
+            self.ffn_residual = HyperResidual(cfg.d_model, cfg.ngpt_alpha_init, param_dtype=cfg.param_dtype, name="ffn_residual")
         else:
             self.self_attn_norm = Norm(cfg, name="self_attn_norm")
             self.final_norm = Norm(cfg, name="final_norm")
@@ -567,9 +591,9 @@ class DecoderLayer(nn.Module):
         self.cross_attn = Attention(cfg, cfg.decoder_heads, is_cross=True, name="cross_attn")
         self.ffn = FeedForward(cfg, cfg.decoder_ffn, name="ffn")
         if cfg.norm_scheme == "ngpt":
-            self.attn_residual = HyperResidual(cfg.d_model, param_dtype=cfg.param_dtype, name="attn_residual")
-            self.cross_residual = HyperResidual(cfg.d_model, param_dtype=cfg.param_dtype, name="cross_residual")
-            self.ffn_residual = HyperResidual(cfg.d_model, param_dtype=cfg.param_dtype, name="ffn_residual")
+            self.attn_residual = HyperResidual(cfg.d_model, cfg.ngpt_alpha_init, param_dtype=cfg.param_dtype, name="attn_residual")
+            self.cross_residual = HyperResidual(cfg.d_model, cfg.ngpt_alpha_init, param_dtype=cfg.param_dtype, name="cross_residual")
+            self.ffn_residual = HyperResidual(cfg.d_model, cfg.ngpt_alpha_init, param_dtype=cfg.param_dtype, name="ffn_residual")
         else:
             self.self_attn_norm = Norm(cfg, name="self_attn_norm")
             self.cross_attn_norm = Norm(cfg, name="cross_attn_norm")
@@ -635,15 +659,28 @@ class Encoder(nn.Module):
         x = features.astype(cfg.dtype)
         if cfg.conv_stem:
             x = nn.Conv(cfg.d_model, (3,), padding=1, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="conv1")(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
             x = nn.Conv(
                 cfg.d_model, (3,), strides=(2,), padding=1, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="conv2"
             )(x)
-            x = nn.gelu(x)
+            x = nn.gelu(x, approximate=False)
 
         b, t, _ = x.shape
         positions = jnp.arange(t)[None].repeat(b, 0)
-        if cfg.position_scheme == "whisper_abs":
+        if cfg.norm_scheme == "ngpt":
+            # reference modeling_nwhisper.py:1402-1410: l2norm the conv output,
+            # then slerp toward learned (frozen) absolute position rows
+            pos_table = self.param(
+                "embed_positions",
+                lambda key, shape: whisper_sinusoids(*shape).astype(cfg.param_dtype),
+                (cfg.max_source_positions, cfg.d_model),
+            )
+            alpha = HyperScale(cfg.d_model, cfg.ngpt_alpha_pos_init, cfg.d_model**-0.5,
+                               cfg.param_dtype, name="alpha_positions")()
+            xf = l2norm(x.astype(jnp.float32))
+            p = pos_table[None, :t].astype(jnp.float32)
+            x = l2norm(xf + alpha * (p - xf)).astype(cfg.dtype)
+        elif cfg.position_scheme == "whisper_abs":
             x = x + whisper_sinusoids(cfg.max_source_positions, cfg.d_model)[None, :t].astype(cfg.dtype)
 
         pos_bias = None
@@ -667,11 +704,19 @@ class Decoder(nn.Module):
     def setup(self):
         cfg = self.config
         self.embed_tokens = nn.Embed(
-            cfg.vocab_size, cfg.d_model, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="embed_tokens"
+            cfg.input_vocab_size or cfg.vocab_size,
+            cfg.d_model, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="embed_tokens"
         )
         if cfg.position_scheme == "whisper_abs":
             self.embed_positions = nn.Embed(
                 cfg.max_target_positions, cfg.d_model, dtype=cfg.dtype, param_dtype=cfg.param_dtype
+            )
+        if cfg.norm_scheme == "ngpt":
+            # reference modeling_nwhisper.py:1450-1452,1650: token embeds are
+            # slerped toward learned absolute position rows
+            self.alpha_positions = HyperScale(
+                cfg.d_model, cfg.ngpt_alpha_pos_init, cfg.d_model**-0.5,
+                cfg.param_dtype, name="alpha_positions"
             )
         if cfg.position_scheme == "t5_relpos":
             self.rel_bias = RelativePositionBias(cfg, cfg.decoder_heads, bidirectional=False, name="rel_bias")
@@ -700,7 +745,13 @@ class Decoder(nn.Module):
         if positions is None:
             positions = jnp.arange(t)[None].repeat(b, 0)
         if cfg.position_scheme == "whisper_abs":
-            x = x + self.embed_positions(positions)
+            p = self.embed_positions(positions)
+            if cfg.norm_scheme == "ngpt":
+                alpha = self.alpha_positions()
+                xf = x.astype(jnp.float32)
+                x = l2norm(xf + alpha * (p.astype(jnp.float32) - xf)).astype(cfg.dtype)
+            else:
+                x = x + p
 
         pos_bias = None
         if cfg.position_scheme == "t5_relpos":

@@ -195,7 +195,9 @@ def test_backbone_families_forward(recipe):
         encoder_heads=2, decoder_heads=2, encoder_ffn=64, decoder_ffn=64,
     )
     cfg = dataclasses.replace(cfg, backbone=bb)
-    expected = {"v28": ("whisper_abs", "layer"), "v30": ("rope", "layer"), "v32": ("rope", "rms")}
+    # v30/v31 RoPEWhisper normalizes with nn.RMSNorm throughout
+    # (reference modeling_ropewhisper.py:768,1150)
+    expected = {"v28": ("whisper_abs", "layer"), "v30": ("rope", "rms"), "v32": ("rope", "rms")}
     assert (cfg.backbone.position_scheme, cfg.backbone.norm) == expected[recipe]
 
     model = Mapperatorinator(cfg)
