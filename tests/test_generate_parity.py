@@ -1,0 +1,205 @@
+"""Full-pipeline greedy token parity vs the reference's HF
+``model.generate`` composition (VERDICT r1 items 4/5): same tiny random
+checkpoint, same audio, same prompt, same logit processors -> identical
+token ids from the reference ``server.model_generate``
+(/root/reference/osuT5/osuT5/inference/server.py:84-156) and our
+``DecodeEngine.generate``, for every published backbone family.
+
+Covers the exact composition where HF semantics bite: encoder precompute via
+the composite ``get_encoder`` with conditioning, prompt handling, the
+MonotonicTimeShift processor, multi-EOS stopping, and KV-cached decode.
+"""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from mapperatorinator_tpu.config import compose, schema
+from mapperatorinator_tpu.osu import build_vocabulary
+from tests.reference_shim import import_reference_osut5
+
+REF_CONFIGS = "/root/reference/configs"
+
+TINY = dict(
+    d_model=32,
+    encoder_layers=2,
+    decoder_layers=2,
+    encoder_attention_heads=2,
+    decoder_attention_heads=2,
+    encoder_ffn_dim=64,
+    decoder_ffn_dim=64,
+)
+
+FAMILY = {"v28": "whisper", "v31": "ropewhisper", "v32": "varwhisper"}
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return import_reference_osut5()
+
+
+def _configs(ref, name, src_len, tgt_len, tmp_path, monkeypatch):
+    """Matched (ours, reference) train configs with tiny dims."""
+    cfg = compose(f"{REF_CONFIGS}/train", name, schema_cls=schema.TrainConfig)
+    if name != "v32":
+        cfg.data.dataset_type = "none"
+        cfg.data.mappers_path = ""
+        cfg.data.tags_metadata_path = ""
+    cfg.data.src_seq_len = src_len
+    cfg.data.tgt_seq_len = tgt_len
+    cfg.model.overwrite = dict(cfg.model.overwrite or {}, **TINY)
+
+    from tests.test_vocab import _copy_dataclass, _setup_v32
+
+    ref_cfg = ref.config.TrainConfig()
+    _copy_dataclass(cfg, ref_cfg)
+    if name == "v32":
+        # same local metadata files for both tokenizers (see test_vocab)
+        _setup_v32(ref, cfg, ref_cfg, tmp_path, monkeypatch)
+    return cfg, ref_cfg
+
+
+def _patch_hub_lookups(monkeypatch):
+    """Intercept every backbone-config hub fetch with local defaults
+    (configuration_mapperatorinator.py:66-80 and HF generate's
+    _prepare_generation_config default re-instantiation)."""
+    import transformers
+
+    from osuT5.osuT5.model.custom_transformers import RoPEWhisperConfig
+    from osuT5.osuT5.model.custom_transformers.configuration_varwhisper import VarWhisperConfig
+
+    for cls in (RoPEWhisperConfig, VarWhisperConfig, transformers.WhisperConfig):
+        monkeypatch.setattr(cls, "from_pretrained", classmethod(lambda c, name, **kw: c()))
+
+
+def _mel_shim(cfg, monkeypatch):
+    """torchaudio is absent here; route the reference's mel front-end through
+    ours so both sides see bit-identical encoder inputs (our mel is
+    torchaudio-parity tested in test_audio.py)."""
+    import torch
+
+    import osuT5.osuT5.model.modeling_mapperatorinator as ref_modeling
+
+    from mapperatorinator_tpu.audio.mel import MelSpectrogram as OurMel
+
+    m = cfg.model.spectrogram
+    our_mel = OurMel(
+        implementation="xla", log_scale=m.log_scale, sample_rate=m.sample_rate,
+        n_fft=m.n_fft, n_mels=m.n_mels, hop_length=m.hop_length,
+        f_min=m.f_min, f_max=m.f_max, pad_mode=m.pad_mode,
+    )
+
+    class MelShim(torch.nn.Module):
+        def forward(self, x):
+            out = np.asarray(our_mel(jnp.asarray(x.detach().cpu().numpy())))
+            return torch.tensor(out, dtype=torch.float32)
+
+    monkeypatch.setattr(ref_modeling, "MelSpectrogram", lambda *a, **k: MelShim())
+
+
+@pytest.mark.parametrize("recipe", ["v28", "v31", "v32"])
+def test_greedy_generate_token_parity(ref, recipe, tmp_path, monkeypatch):
+    import torch
+
+    from osuT5.osuT5.inference import server as ref_server
+    from osuT5.osuT5.utils import model_utils as ref_model_utils
+
+    src_len, tgt_len, n_new = 64, 96, 40
+    cfg, ref_cfg = _configs(ref, recipe, src_len, tgt_len, tmp_path, monkeypatch)
+    _patch_hub_lookups(monkeypatch)
+    ref_tok = ref.tokenizer.Tokenizer(ref_cfg)
+    _mel_shim(cfg, monkeypatch)
+
+    torch.manual_seed(0)
+    ref_model = ref_model_utils._get_model(ref_cfg, ref_tok, torch.float32, "sdpa").eval()
+
+    vocab = build_vocabulary(cfg)
+    assert vocab.vocab_size_out == ref_tok.vocab_size_out
+    assert vocab.vocab_size_in == ref_tok.vocab_size_in
+
+    from mapperatorinator_tpu.decode import DecodeEngine
+    from mapperatorinator_tpu.decode.logits import build_logits_pipeline, get_eos_token_ids
+    from mapperatorinator_tpu.models import Mapperatorinator
+    from mapperatorinator_tpu.models.convert import convert_mapperatorinator_state_dict
+    from mapperatorinator_tpu.models.mapperatorinator import build_config
+
+    my_cfg = build_config(cfg, vocab)
+    model = Mapperatorinator(my_cfg)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = {"params": convert_mapperatorinator_state_dict(sd, my_cfg, family=FAMILY[recipe])}
+
+    # same audio, same conditioning, same prompt on both sides
+    rng = np.random.default_rng(11)
+    hop = cfg.model.spectrogram.hop_length
+    n_samples = hop * (src_len - 1)
+    frames = (rng.standard_normal((2, n_samples)) * 0.1).astype(np.float32)
+    has_cond = bool(cfg.model.do_difficulty_embed)
+    difficulty = np.asarray([4.5, 6.0], np.float32)
+    mapper_idx = np.asarray([-1, -1], np.int64)
+    song_position = np.asarray([[0.0, 0.25], [0.25, 0.5]], np.float32)
+
+    sos = ref_tok.sos_id
+    prompt = np.asarray([[sos], [sos]], np.int64)
+    attn = np.ones_like(prompt)
+
+    # ---- reference: HF GenerationMixin greedy through server.model_generate
+    model_kwargs = dict(
+        inputs=torch.tensor(frames),
+        decoder_input_ids=torch.tensor(prompt),
+        decoder_attention_mask=torch.tensor(attn),
+    )
+    if has_cond:
+        model_kwargs.update(
+            difficulty=torch.tensor(difficulty),
+            mapper_idx=torch.tensor(mapper_idx),
+            song_position=torch.tensor(song_position),
+        )
+    generate_kwargs = dict(
+        do_sample=False,
+        num_beams=1,
+        max_length=prompt.shape[1] + n_new,
+        pad_token_id=ref_tok.pad_id,
+        temperature=1.0,
+    )
+    ref_result, _ = ref_server.model_generate(ref_model, ref_tok, model_kwargs, generate_kwargs)
+    ref_tokens = ref_result.numpy()  # (B, prompt + generated)
+
+    # ---- ours: compiled while_loop decode on converted weights
+    engine = DecodeEngine(model, params, max_length=prompt.shape[1] + n_new,
+                          pad_token_id=vocab.pad_id)
+    cond = dict(
+        difficulty=jnp.asarray(difficulty),
+        mapper_idx=jnp.asarray(mapper_idx, jnp.int32),
+        song_position=jnp.asarray(song_position),
+    ) if has_cond else None
+    enc = engine.encode_with_cond(jnp.asarray(frames), cond=cond)
+    pipeline = build_logits_pipeline(vocab, temperature=1.0, do_sample=False)
+    out, _lengths = engine.generate(
+        enc,
+        prompt.astype(np.int32),
+        pipeline,
+        eos_ids=get_eos_token_ids(vocab),
+        seed=0,
+    )
+
+    # compare generated ids step-for-step until either side stops.
+    # engine buffer layout: [left pads][prompt][generated][right pads]
+    def until_eos(seq):
+        ids = []
+        for t in seq:
+            ids.append(int(t))
+            if t == ref_tok.eos_id:
+                break
+        return ids
+
+    for b in range(2):
+        ref_gen = ref_tokens[b, prompt.shape[1]:]
+        row = np.asarray(out[b]).tolist()
+        start = row.index(sos) + prompt.shape[1]
+        my_gen = [t for t in row[start:] if t != vocab.pad_id]
+        n = min(len(ref_gen), len(my_gen))
+        assert n >= 20, f"batch {b}: too few generated tokens ({n})"
+        r = until_eos(ref_gen[:n])
+        m = until_eos(my_gen[:n])
+        assert m == r, f"batch {b}: ours {m} != reference {r}"
