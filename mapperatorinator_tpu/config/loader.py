@@ -40,6 +40,10 @@ _STRUCTURED: dict[str, type] = {
     "diffusion/base": schema.DiffusionTrainConfig,
     "base_fid": schema.FidConfig,
     "base_mai_mod": schema.MaiModConfig,
+    # the v1-v18 era legacy presets (reference configs/legacy/*) name the
+    # structured bases bare: ``- inference`` / ``- train``
+    "inference": schema.InferenceConfig,
+    "train": schema.TrainConfig,
 }
 
 _INTERP_RE = re.compile(r"\$\{([^${}]+)\}")
@@ -141,6 +145,12 @@ def _compose_file(path: Path, root_dir: Path) -> dict:
             saw_self = True
             continue
 
+        # the v1-v18 era legacy presets (reference configs/legacy/*) nest the
+        # training recipe under the historical group name 'osut5'; the modern
+        # schema field is 'train' and the recipe file sits next to the preset
+        if group == "osut5":
+            group, package = ".", "train"
+
         structured_key = f"{group.lstrip('/')}/{name}".lstrip("/") if group not in (".", "") else name
         if structured_key in _STRUCTURED or name in _STRUCTURED:
             cls = _STRUCTURED.get(structured_key) or _STRUCTURED[name]
@@ -152,9 +162,11 @@ def _compose_file(path: Path, root_dir: Path) -> dict:
                 sub_dir = path.parent
             else:
                 sub_dir = (path.parent / group).resolve()
-            sub_path = sub_dir / f"{name}.yaml"
-            if not sub_path.exists():
-                raise ConfigCompositionError(f"{path}: default '{raw}' not found at {sub_path}")
+            sub_path = _find_default(sub_dir, path, group, name)
+            if sub_path is None:
+                raise ConfigCompositionError(
+                    f"{path}: default '{raw}' not found at {sub_dir / (name + '.yaml')}"
+                )
             sub = _compose_file(sub_path, root_dir)
 
         _set_path(result, package or "", sub)
@@ -162,6 +174,30 @@ def _compose_file(path: Path, root_dir: Path) -> dict:
     if not saw_self:
         deep_merge(result, body)
     return result
+
+
+def _find_default(sub_dir: Path, path: Path, group: str, name: str) -> Optional[Path]:
+    """Resolve a defaults entry to a file, with legacy-layout fallbacks.
+
+    Presets under a ``legacy/`` subdirectory (reference
+    ``configs/{train,inference}/legacy/*``) reference their group siblings as
+    if they still lived one level up (``- default``,
+    ``- ../train@train: tiny41`` where tiny41 is itself a legacy preset), so
+    after the primary location we retry against the parent directory and the
+    target group's own ``legacy/`` subdirectory.
+    """
+    fname = f"{name}.yaml"
+    candidates = [sub_dir / fname, sub_dir / "legacy" / fname]
+    up = path.parent.parent
+    if group in (".", ""):
+        candidates.append(up / fname)
+    else:
+        resolved = (up / group).resolve()
+        candidates += [resolved / fname, resolved / "legacy" / fname]
+    for c in candidates:
+        if c.exists():
+            return c
+    return None
 
 
 # ---------------------------------------------------------------------------
@@ -288,13 +324,23 @@ def normalize_context_types(entries: list) -> list:
         if isinstance(e, dict):
             out.append(
                 {
-                    "in": [_as_context(x) for x in (e.get("in") or [])],
-                    "out": [_as_context(x) for x in (e.get("out") or [])],
+                    "in": [_as_context(x) for x in _as_list(e.get("in"))],
+                    "out": [_as_context(x) for x in _as_list(e.get("out"))],
                 }
             )
         else:
             out.append(_as_context(e))
     return out
+
+
+def _as_list(x) -> list:
+    # legacy presets write a bare string where a list is expected
+    # (configs/legacy/train_timer_v24.yaml: {"in": ["none"], "out": "timing"})
+    if x is None:
+        return []
+    if isinstance(x, (str, ContextType)):
+        return [x]
+    return list(x)
 
 
 def _as_context(x) -> ContextType:
@@ -349,6 +395,11 @@ def compose(
 
     if schema_cls is None:
         schema_cls = _infer_schema(path)
+
+    # legacy inference presets (configs/legacy/inference_v7.yaml) attach a
+    # model group at the top level; the modern schema nests it at train.model
+    if schema_cls is schema.InferenceConfig and isinstance(tree.get("model"), dict):
+        deep_merge(tree.setdefault("train", {}).setdefault("model", {}), tree.pop("model"))
 
     cfg = structure(schema_cls, tree)
     _post_normalize(cfg)
