@@ -1,10 +1,22 @@
-"""Benchmark: osuT5 decoder tokens/sec/chip on the flagship (v32) model shape.
+"""Benchmarks on 1 chip at the flagship (v32) model shape.
 
-Runs the compiled KV-cached decode loop on one chip with a realistic window:
-v32 VarWhisper-small dimensions (d_model 768, 12+12 layers), bf16 compute,
-2048-frame encoder window, sampled decoding with the full logit-processor
-chain. Prints ONE JSON line. The reference publishes no throughput numbers
-(BASELINE.md), so ``vs_baseline`` is null.
+Headline: END-TO-END generation time for a 3-minute song — the BASELINE.json
+north-star metric (reference semantics: /root/reference/inference.py:411-551,
+timing pass -> sliding-window MAP/SV decode -> postprocess -> .osu). Random
+weights can't emit trained EOS patterns, so each window's budget is capped at
+a realistic per-window token count via tgt_seq_len=640 (trained models stop
+at the lookahead-edge timeshift EOS range well before the cap).
+
+Extras carried in the same JSON line:
+* ``decode_tok_s_batch1`` — KV-cached sampled decode, batch 1 (v32 shape,
+  bf16, full logit-processor chain). Profile note: measured practical weight
+  streaming on this chip is ~273 GB/s for 1-row matmuls (probe in commit
+  history); the 12-layer 768-d decoder reads ~240 MB/step, so ~1.3-1.4k
+  tok/s IS that roofline — batch-1 steps/s stays ~constant up to batch 16,
+  so throughput scales with batch instead.
+* ``decode_tok_s_batch8`` — 8 windows batched (the parallel-mode TPU shape).
+
+Prints ONE JSON line.
 """
 
 from __future__ import annotations
@@ -19,31 +31,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+HOP = 128
 
-def main() -> None:
-    from mapperatorinator_tpu.config import compose, schema
+
+def build_engine(vocab, d_model, layers, heads, ffn, src_len, tgt_len):
     from mapperatorinator_tpu.decode import DecodeEngine
-    from mapperatorinator_tpu.decode.logits import build_logits_pipeline, get_eos_token_ids
     from mapperatorinator_tpu.models import Mapperatorinator, MapperatorinatorConfig
     from mapperatorinator_tpu.models.transformer import TransformerConfig
-    from mapperatorinator_tpu.osu import build_vocabulary
     from mapperatorinator_tpu.osu.events import EventType
-
-    on_tpu = jax.devices()[0].platform != "cpu"
-    # full v32 shape on TPU; tiny shape for CPU smoke runs
-    if on_tpu:
-        d_model, layers, heads, ffn = 768, 12, 12, 3072
-        src_len, tgt_len = 2048, 2560
-        gen_tokens = 512
-    else:
-        d_model, layers, heads, ffn = 64, 2, 4, 128
-        src_len, tgt_len = 256, 384
-        gen_tokens = 64
-
-    args = compose("configs/train", "v32", schema_cls=schema.TrainConfig)
-    args.data.src_seq_len = src_len
-    args.data.tgt_seq_len = tgt_len
-    vocab = build_vocabulary(args)
 
     backbone = TransformerConfig(
         vocab_size=vocab.vocab_size_out,
@@ -78,54 +73,147 @@ def main() -> None:
         max_target_positions=tgt_len,
     )
     model = Mapperatorinator(cfg)
-
-    hop = 128
-    samples = jnp.zeros((1, hop * (src_len - 1)), jnp.float32)
+    samples = jnp.zeros((1, HOP * (src_len - 1)), jnp.float32)
     ids = jnp.ones((1, 16), jnp.int32)
     params = model.init(jax.random.PRNGKey(0), frames=samples, decoder_input_ids=ids)
+    return DecodeEngine(model, params, max_length=tgt_len, pad_token_id=vocab.pad_id)
 
-    engine = DecodeEngine(model, params, max_length=tgt_len)
+
+def decode_tok_s(engine, vocab, batch, src_len, gen_tokens, seed0=0):
+    """Steady-state sampled decode throughput at the given batch."""
+    from mapperatorinator_tpu.decode.logits import build_logits_pipeline
+
     pipeline = build_logits_pipeline(
         vocab, temperature=0.9, timing_temperature=0.1, top_p=0.9, do_sample=True
     )
-    # plain EOS only: random weights rarely emit EOS, so decode runs the full
-    # budget and we measure steady-state tokens/sec
-    eos_ids = [vocab.eos_id]
-
     rng = np.random.default_rng(0)
-    audio = rng.standard_normal((1, hop * (src_len - 1))).astype(np.float32)
-    encoder_states = engine.encode_with_cond(audio)
+    audio = rng.standard_normal((batch, HOP * (src_len - 1))).astype(np.float32)
+    encoder_states = engine.encode_with_cond(jnp.asarray(audio))
     prompt = np.concatenate(
-        [[[vocab.sos_id]], rng.integers(vocab.offset, vocab.vocab_size_out, (1, 99))], axis=1
+        [np.full((batch, 1), vocab.sos_id),
+         rng.integers(vocab.offset, vocab.vocab_size_out, (batch, 99))], axis=1
     ).astype(np.int32)
-
     max_len = prompt.shape[1] + gen_tokens
+    # plain EOS only: random weights rarely emit EOS -> full budget runs
+    eos = [vocab.eos_id]
 
-    # warmup (compile)
-    tokens, _ = engine.generate(encoder_states, prompt, pipeline, eos_ids, seed=0, max_length=max_len)
+    tokens, _ = engine.generate(encoder_states, prompt, pipeline, eos, seed=seed0, max_length=max_len)
+    jax.block_until_ready(tokens)
 
-    # timed runs: sync on the result arrays inside the window, count outside
-    # (a host-side count is a device round-trip and would tax the tunnel)
     n_runs = 3
     results = []
     t0 = time.perf_counter()
     for i in range(n_runs):
-        tokens, _ = engine.generate(encoder_states, prompt, pipeline, eos_ids, seed=i + 1, max_length=max_len)
+        tokens, _ = engine.generate(
+            encoder_states, prompt, pipeline, eos, seed=seed0 + i + 1, max_length=max_len
+        )
         jax.block_until_ready(tokens)
         results.append(tokens)
     elapsed = time.perf_counter() - t0
-    total_generated = sum(
-        int(np.asarray(t != vocab.pad_id).sum()) - int((prompt != vocab.pad_id).sum()) for t in results
+    prompt_tokens = int((prompt != vocab.pad_id).sum())
+    total = sum(int(np.asarray(t != vocab.pad_id).sum()) - prompt_tokens for t in results)
+    return total / elapsed
+
+
+def e2e_3min_seconds(on_tpu: bool) -> float:
+    """Full pipeline wall time: synthesized 3-min WAV -> timing pass ->
+    sequential MAP/SV decode -> postprocess -> .osu (inference.generate)."""
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent))
+    import inference
+    from mapperatorinator_tpu.config import compose, schema
+    from tests.fixtures.tiny_checkpoint import make_wav
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench_e2e_"))
+    wav_warm = make_wav(tmp / "warm.wav", seconds=25.0)
+    wav = make_wav(tmp / "song.wav", seconds=180.0)
+
+    args = compose("configs/inference", "v32", schema_cls=schema.InferenceConfig)
+    if on_tpu:
+        # full v32 encoder window; decode budget capped per window (see module
+        # docstring) — vocab layout depends on the src window, not tgt
+        args.train.data.tgt_seq_len = 640
+        dims = dict(d_model=768, layers=12, heads=12, ffn=3072)
+    else:
+        args.train.data.src_seq_len = 256
+        args.train.data.tgt_seq_len = 192
+        dims = dict(d_model=64, layers=2, heads=4, ffn=128)
+
+    from mapperatorinator_tpu.osu import build_vocabulary
+
+    vocab = build_vocabulary(args.train)
+    engine = build_engine(
+        vocab, src_len=args.train.data.src_seq_len, tgt_len=args.train.data.tgt_seq_len, **dims
     )
 
-    tok_per_s = total_generated / elapsed
+    args.audio_path = str(wav)
+    args.output_path = str(tmp)
+    args.gamemode = 0
+    args.difficulty = 5.0
+    args.seed = 7
+    args.super_timing = False
+    args.generate_positions = False
+    args.title, args.artist, args.creator, args.version = "Bench", "bench", "bench", "3min"
+    args.bpm, args.offset = 120, 0
+    inference.compile_args(args, vocab, verbose=False)
+    generation_config, beatmap_config = inference.get_config(args)
+
+    common = dict(
+        generation_config=generation_config,
+        beatmap_config=beatmap_config,
+        engine=engine,
+        vocab=vocab,
+        verbose=False,
+    )
+    # warmup: compile the prompt buckets on a short clip
+    inference.generate(args, audio_path=str(wav_warm), output_path=str(tmp), **common)
+
+    t0 = time.perf_counter()
+    _, result_path = inference.generate(args, audio_path=str(wav), output_path=str(tmp), **common)
+    elapsed = time.perf_counter() - t0
+    assert Path(result_path).exists()
+    return elapsed
+
+
+def main() -> None:
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.osu import build_vocabulary
+
+    on_tpu = jax.devices()[0].platform != "cpu"
+    if on_tpu:
+        dims = dict(d_model=768, layers=12, heads=12, ffn=3072)
+        src_len, tgt_len, gen_tokens = 2048, 2560, 512
+    else:  # CPU smoke shape
+        dims = dict(d_model=64, layers=2, heads=4, ffn=128)
+        src_len, tgt_len, gen_tokens = 256, 384, 64
+
+    args = compose("configs/train", "v32", schema_cls=schema.TrainConfig)
+    args.data.src_seq_len = src_len
+    args.data.tgt_seq_len = tgt_len
+    vocab = build_vocabulary(args)
+
+    engine = build_engine(vocab, src_len=src_len, tgt_len=tgt_len, **dims)
+    tok_s_b1 = decode_tok_s(engine, vocab, batch=1, src_len=src_len, gen_tokens=gen_tokens)
+    tok_s_b8 = decode_tok_s(engine, vocab, batch=8, src_len=src_len, gen_tokens=gen_tokens)
+    del engine
+
+    e2e = e2e_3min_seconds(on_tpu)
+
     print(
         json.dumps(
             {
-                "metric": "osuT5 decoder tokens/sec/chip (v32 shape, bf16, batch 1)",
-                "value": round(tok_per_s, 2),
-                "unit": "tokens/s",
+                "metric": "end-to-end 3-min-song generation (1 chip, v32 shape, timing+map+sv+postprocess)",
+                "value": round(e2e, 2),
+                "unit": "s",
                 "vs_baseline": None,
+                "extra": {
+                    "e2e_3min_seconds": round(e2e, 2),
+                    "decode_tok_s_batch1": round(tok_s_b1, 1),
+                    "decode_tok_s_batch8": round(tok_s_b8, 1),
+                },
             }
         )
     )

@@ -462,7 +462,13 @@ def main(argv=None) -> None:
 
     args = compose(REPO_ROOT / "configs" / "inference", config_name, overrides=overrides,
                    schema_cls=schema.InferenceConfig)
+    return run(args)
 
+
+def run(args):
+    """Everything after config composition: load models, compile args, and
+    generate. Programmatic entry used by web_ui / calc_fid / colab (the
+    reference reuses ``generate(...)`` the same way, inference.py:411)."""
     engine, vocab = load_model(args)
     compile_args(args, vocab)
 

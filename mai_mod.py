@@ -100,6 +100,8 @@ def ai_mod(
     beatmap_path: Optional[str] = None,
     verbose: bool = True,
     raw_output: bool = False,
+    surprisal_threshold: float = 20.0,
+    structured: bool = False,
 ):
     from mapperatorinator_tpu.infer import Preprocessor, Processor
 
@@ -203,7 +205,7 @@ def ai_mod(
         s
         for s in suggestions
         if (
-            s.surprisal >= 20.0
+            s.surprisal >= surprisal_threshold
             and not (s.group.event_type == EventType.SLIDER_END and s.event.type in POSITION_TYPES)
             and not (
                 s.event.type == EventType.TIME_SHIFT
@@ -273,6 +275,7 @@ def ai_mod(
         return f"    ({surprisal:.0f})"
 
     suggestions_by_category: dict[str, list[str]] = {}
+    records: list[dict] = []
     for s in suggestions:
         if (
             i_args.train.data.add_timing
@@ -336,6 +339,19 @@ def ai_mod(
         suggestions_by_category.setdefault(category, []).append(
             f"{surprisal_text(s.surprisal)} {timestamp_text(s)} ({s.group_str}) - {explanation}"
         )
+        t = int(s.time)
+        t2 = int(s.timestamp_time) if s.timestamp_time is not None else t
+        edit_link = f"osu://edit/{t2 // 60000:02}:{(t2 // 1000) % 60:02}:{t2 % 1000:03}"
+        if s.combo_index is not None:
+            edit_link += f"%20({s.combo_index})"
+        records.append({
+            "category": category,
+            "message": explanation,
+            "surprisal": s.surprisal / 10.0,
+            "timestamp": f"{t // 60000:02}:{(t // 1000) % 60:02}:{t % 1000:03}",
+            "edit_link": edit_link,
+            "group": s.group_str,
+        })
 
     p = print
     if not raw_output:
@@ -356,7 +372,30 @@ def ai_mod(
         for item in suggestions_by_category[category][:10]:
             p(f" {item}")
 
+    if structured:
+        return records
     return suggestions_by_category
+
+
+def run_analysis(i_args, surprisal_threshold: float = 20.0) -> list[dict]:
+    """Programmatic MaiMod entry for the web UIs: load the model, analyze
+    ``i_args.beatmap_path``, and return structured suggestion records
+    (category / message / surprisal / timestamp / osu://edit link)."""
+    from inference import compile_args, get_config, load_model
+
+    engine, vocab = load_model(i_args)
+    compile_args(i_args, vocab)
+    generation_config, _ = get_config(i_args)
+    return ai_mod(
+        i_args,
+        generation_config=generation_config,
+        engine=engine,
+        vocab=vocab,
+        beatmap_path=i_args.beatmap_path,
+        raw_output=True,
+        surprisal_threshold=surprisal_threshold,
+        structured=True,
+    )
 
 
 def main(argv=None) -> None:

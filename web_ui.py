@@ -1,184 +1,262 @@
-"""Web UI for beatmap generation (reference: ``web-ui.py:147-1034``).
+"""Web UI for beatmap generation (reference surface: ``web-ui.py:147-1034``,
+``static/app.js``, ``template/index.html``).
 
 A dependency-free HTTP app (stdlib ``http.server`` — Flask is not part of
-this image) exposing the reference's workflow: a generation form, a
-``/start_inference`` endpoint that runs ``inference.generate`` in a spawned
-worker process with live log streaming over ``/stream_output``
-(server-sent events), ``/cancel_inference``, and ``/validate_paths``.
+this image) exposing the reference's full workflow:
 
-    python web_ui.py [--port 8765]
+* ``/`` — generation form covering every ``InferenceConfig`` option the CLI
+  accepts (model presets, conditioning, descriptors multiselect, sampling,
+  in-context, metadata, export), with localStorage persistence and i18n
+  (``static/i18n/{en,ru,zh-CN}.json``),
+* ``/mai-mod`` — dedicated MaiMod analysis page (see also mai_mod_ui.py),
+* ``/start_inference`` / ``/start_mai_mod`` — spawn a worker process running
+  :func:`inference.run` / :func:`mai_mod.ai_mod` with log streaming,
+* ``/stream_output?job_id=`` — server-sent events from the worker,
+* ``/cancel_inference``, ``/validate_paths``, ``/save_config``,
+  ``/open_folder``, ``/models``, ``/descriptors``, ``/check_bf16_support``.
+
+Run::
+
+    python web_ui.py [--port 8765] [--window]
+
+``--window`` opens a desktop shell via pywebview when available (the
+reference's desktop mode, web-ui.py:1000-1034); it falls back to printing the
+URL when pywebview is absent in this image.
 """
 
 from __future__ import annotations
 
 import json
 import multiprocessing
+import os
 import queue
+import subprocess
 import sys
 import threading
 import urllib.parse
+import uuid
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 
 REPO_ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO_ROOT))
 
-PAGE = """<!DOCTYPE html>
-<html>
-<head>
-<meta charset="utf-8">
-<title>Mapperatorinator TPU</title>
-<style>
- body { font-family: system-ui, sans-serif; margin: 2rem auto; max-width: 46rem; }
- label { display: block; margin-top: .8rem; font-weight: 600; }
- input, select { width: 100%; padding: .4rem; box-sizing: border-box; }
- button { margin-top: 1rem; padding: .6rem 1.4rem; font-size: 1rem; }
- #log { white-space: pre-wrap; background: #111; color: #9e9; padding: 1rem;
-        margin-top: 1rem; height: 20rem; overflow-y: auto; font-family: monospace; }
-</style>
-</head>
-<body>
-<h1>Mapperatorinator <small>tpu</small></h1>
-<form id="form">
- <label>Audio path <input name="audio_path" required></label>
- <label>Output path <input name="output_path"></label>
- <label>Model path <input name="model_path" required></label>
- <label>Reference beatmap (optional) <input name="beatmap_path"></label>
- <label>Gamemode <select name="gamemode">
-   <option value="">auto</option><option value="0">standard</option>
-   <option value="1">taiko</option><option value="2">catch</option>
-   <option value="3">mania</option></select></label>
- <label>Difficulty <input name="difficulty" type="number" step="0.1"></label>
- <label>Seed <input name="seed" type="number"></label>
- <label>Extra overrides (space-separated key=value) <input name="extra_overrides"></label>
- <button type="submit">Generate</button>
- <button type="button" id="cancel">Cancel</button>
-</form>
-<h2>MaiMod <small>AI modding</small></h2>
-<form id="modform">
- <label>Beatmap path (.osu) <input name="beatmap_path" required></label>
- <label>Audio path <input name="audio_path"></label>
- <label>Model path <input name="model_path" required></label>
- <label>Extra overrides <input name="extra_overrides"></label>
- <button type="submit">Analyze</button>
-</form>
-<div id="log"></div>
-<script>
-const log = document.getElementById('log');
-let source = null;
-document.getElementById('form').addEventListener('submit', async (e) => {
-  e.preventDefault();
-  log.textContent = '';
-  const data = Object.fromEntries(new FormData(e.target).entries());
-  const res = await fetch('/start_inference', {
-    method: 'POST', headers: {'Content-Type': 'application/json'},
-    body: JSON.stringify(data)});
-  const out = await res.json();
-  if (out.error) { log.textContent = 'error: ' + out.error; return; }
-  source = new EventSource('/stream_output');
-  source.onmessage = (ev) => {
-    log.textContent += ev.data + '\\n';
-    log.scrollTop = log.scrollHeight;
-    if (ev.data.startsWith('[done]') || ev.data.startsWith('[error]')) source.close();
-  };
-});
-document.getElementById('cancel').addEventListener('click', () =>
-  fetch('/cancel_inference', {method: 'POST'}));
-document.getElementById('modform').addEventListener('submit', async (e) => {
-  e.preventDefault();
-  log.textContent = '';
-  const data = Object.fromEntries(new FormData(e.target).entries());
-  const res = await fetch('/start_mai_mod', {
-    method: 'POST', headers: {'Content-Type': 'application/json'},
-    body: JSON.stringify(data)});
-  const out = await res.json();
-  if (out.error) { log.textContent = 'error: ' + out.error; return; }
-  source = new EventSource('/stream_output');
-  source.onmessage = (ev) => {
-    log.textContent += ev.data + '\\n';
-    log.scrollTop = log.scrollHeight;
-    if (ev.data.startsWith('[done]') || ev.data.startsWith('[error]')) source.close();
-  };
-});
-</script>
-</body>
-</html>
-"""
+CONFIG_SAVE_PATH = Path.home() / ".mapperatorinator_tpu_ui.json"
+
+# job_id -> {"process": Process, "queue": Queue}
+JOBS: dict = {}
+JOBS_LOCK = threading.Lock()
+
+_OPTIONAL_INT = (
+    "gamemode year mapper_id beatmap_id keycount seed start_time end_time preview_time"
+).split()
+_OPTIONAL_FLOAT = (
+    "difficulty hp_drain_rate circle_size overall_difficulty approach_rate "
+    "slider_multiplier slider_tick_rate hold_note_ratio scroll_speed_ratio "
+    "cfg_scale temperature top_p"
+).split()
+_STRINGS = (
+    "audio_path output_path beatmap_path lora_path model_path title title_unicode "
+    "artist artist_unicode creator version source tags background_image"
+).split()
+_CHECKBOXES = (
+    "export_osz add_to_beatmap overwrite_reference_beatmap hitsounded super_timing"
+).split()
 
 
-def _mai_mod_worker(params: dict, log_queue):
-    """MaiMod analysis worker process (reference: mai_mod_ui.py)."""
-    import io
+def _first(form: dict, key: str):
+    v = form.get(key)
+    return v[0] if v else None
 
-    class QueueWriter(io.TextIOBase):
+
+def build_inference_config(form: dict):
+    """Form fields -> composed InferenceConfig (mirrors the reference's
+    start_inference coercion, web-ui.py:535-640)."""
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.osu.events import ContextType
+
+    config_name = _first(form, "model") or "v32"
+    args = compose(REPO_ROOT / "configs" / "inference", config_name,
+                   schema_cls=schema.InferenceConfig)
+
+    for key in _STRINGS:
+        v = _first(form, key)
+        if v:
+            if key == "background_image":
+                args.background = v
+            else:
+                setattr(args, key, v)
+    for key in _OPTIONAL_INT:
+        v = _first(form, key)
+        if v not in (None, ""):
+            setattr(args, key, int(float(v)))
+    for key in _OPTIONAL_FLOAT:
+        v = _first(form, key)
+        if v not in (None, ""):
+            setattr(args, key, float(v))
+    for key in _CHECKBOXES:
+        if _first(form, key) in ("on", "true", "1"):
+            setattr(args, key, True)
+    if _first(form, "enable_bf16") in ("on", "true", "1"):
+        args.precision = "bf16"
+
+    # window-length overrides (tiny checkpoints / tests)
+    for key in ("src_seq_len", "tgt_seq_len"):
+        v = _first(form, key)
+        if v not in (None, ""):
+            setattr(args.train.data, key, int(v))
+
+    descriptors = form.get("descriptors") or []
+    args.descriptors = descriptors or None
+    negative = form.get("negative_descriptors") or []
+    args.negative_descriptors = negative or None
+
+    in_context = form.get("in_context_options") or []
+    if in_context and args.beatmap_path:
+        args.in_context = [ContextType[o] for o in in_context]
+    return args
+
+
+def _queue_writer(q):
+    class Writer:
         def write(self, s):
             s = s.strip()
             if s:
-                log_queue.put(s)
-            return len(s)
+                for line in s.splitlines():
+                    q.put(line)
 
-    sys.stdout = QueueWriter()
-    sys.stderr = QueueWriter()
+        def flush(self):
+            pass
+
+        def isatty(self):
+            return False
+
+    return Writer()
+
+
+def _inference_worker(form: dict, q) -> None:
+    import traceback
+
+    sys.stdout = sys.stderr = _queue_writer(q)
     try:
-        from mai_mod import main as mai_mod_main
+        args = build_inference_config(form)
+        import inference
 
-        extra = params.pop("extra_overrides", "") or ""
-        overrides = []
-        for key, value in params.items():
-            if value in (None, ""):
+        inference.run(args)
+        q.put("__DONE__")
+    except Exception as e:  # surfaced in the UI log
+        traceback.print_exc()
+        q.put(f"__ERROR__{e}")
+
+
+def _mai_mod_worker(form: dict, q) -> None:
+    import dataclasses
+    import traceback
+
+    sys.stdout = sys.stderr = _queue_writer(q)
+    try:
+        from mapperatorinator_tpu.config import compose, schema
+
+        config_name = _first(form, "model") or "v31"
+        args = compose(REPO_ROOT / "configs" / "inference", config_name,
+                       schema_cls=schema.InferenceConfig)
+        if _first(form, "model_path"):
+            args.model_path = _first(form, "model_path")
+        args.beatmap_path = _first(form, "beatmap_path")
+        if _first(form, "audio_path"):
+            args.audio_path = _first(form, "audio_path")
+        gm = _first(form, "gamemode")
+        if gm not in (None, ""):
+            args.gamemode = int(gm)
+
+        import mai_mod
+
+        threshold = float(_first(form, "surprisal_threshold") or 20.0)
+        suggestions = mai_mod.run_analysis(args, surprisal_threshold=threshold)
+        for s in suggestions:
+            q.put("__SUGGESTION__" + json.dumps(dataclasses.asdict(s) if dataclasses.is_dataclass(s) else s))
+        q.put("__DONE__")
+    except Exception as e:
+        traceback.print_exc()
+        q.put(f"__ERROR__{e}")
+
+
+def list_model_presets() -> list[str]:
+    names = sorted(
+        p.stem for p in (REPO_ROOT / "configs" / "inference").glob("*.yaml")
+        if p.stem != "default"
+    )
+    return names
+
+
+def _datasets_dirs() -> list[Path]:
+    dirs = []
+    env = os.environ.get("MAPPERATORINATOR_DATASETS")
+    if env:
+        dirs.append(Path(env))
+    dirs += [REPO_ROOT / "datasets", Path("/root/reference/datasets")]
+    return dirs
+
+
+def load_descriptors() -> dict:
+    """Grouped descriptor sets for the multiselect, from the datasets JSON
+    files (reference: web-ui.py:44-100 loads omdb_descriptors.json and
+    tags_2026.json into {groups: [{key, title, items}]})."""
+    sets = {}
+    for set_name, filename in (("omdb", "omdb_descriptors.json"),
+                               ("user_tags", "tags_2026.json")):
+        groups: list = []
+        by_key: dict = {}
+        for d in _datasets_dirs():
+            path = d / filename
+            if not path.exists():
                 continue
-            # model_path belongs to the nested inference config
-            overrides.append(f"inference.{key}={value}" if key == "model_path" else f"{key}={value}")
-        overrides += extra.split()
-        mai_mod_main(overrides)
-        log_queue.put("[done] analysis complete")
-    except Exception as e:
-        log_queue.put(f"[error] {e}")
+            with open(path, encoding="utf-8") as f:
+                tag_data = json.load(f)
+            for tag in tag_data.get("tags", []):
+                full_name = (tag.get("name") or "").strip()
+                if not full_name:
+                    continue
+                group_key, label = full_name.split("/", 1) if "/" in full_name else ("other", full_name)
+                group = by_key.get(group_key)
+                if group is None:
+                    title = " ".join(w.capitalize() for w in group_key.replace("_", " ").split())
+                    group = {"key": group_key, "title": title, "items": []}
+                    by_key[group_key] = group
+                    groups.append(group)
+                value = (tag.get("value") or full_name).strip()
+                if value:
+                    group["items"].append({
+                        "value": value,
+                        "label": label,
+                        "title": tag.get("description") or "",
+                        "rulesetId": tag.get("ruleset_id"),
+                    })
+            break
+        sets[set_name] = {"groups": groups}
+    return sets
 
 
-def _worker(params: dict, log_queue):
-    """Generation worker process (spawned; reference: web-ui.py:535-650)."""
-    import io
-    import warnings
-
-    warnings.filterwarnings("ignore")
-
-    class QueueWriter(io.TextIOBase):
-        def write(self, s):
-            s = s.strip()
-            if s:
-                log_queue.put(s)
-            return len(s)
-
-    sys.stdout = QueueWriter()
-    sys.stderr = QueueWriter()
-    try:
-        from inference import main as inference_main
-
-        extra = params.pop("extra_overrides", "") or ""
-        overrides = [f"{k}={v}" for k, v in params.items() if v not in (None, "")]
-        overrides += extra.split()
-        result, result_path = inference_main(overrides)
-        log_queue.put(f"[done] {result_path}")
-    except Exception as e:
-        log_queue.put(f"[error] {e}")
-
-
-class AppState:
-    def __init__(self):
-        self.process = None
-        self.log_queue = None
-        self.lock = threading.Lock()
-
-
-STATE = AppState()
+def _spawn(worker, form: dict) -> str:
+    job_id = uuid.uuid4().hex
+    ctx = multiprocessing.get_context("spawn")
+    q = ctx.Queue()
+    p = ctx.Process(target=worker, args=(form, q), daemon=True)
+    p.start()
+    with JOBS_LOCK:
+        JOBS[job_id] = {"process": p, "queue": q}
+    return job_id
 
 
 class Handler(BaseHTTPRequestHandler):
-    def log_message(self, fmt, *args):
+    protocol_version = "HTTP/1.1"
+
+    def log_message(self, fmt, *args):  # quiet
         pass
 
-    def _json(self, payload: dict, status: int = 200) -> None:
+    # -- helpers ------------------------------------------------------------
+
+    def _json(self, payload, status: int = 200) -> None:
         body = json.dumps(payload).encode()
         self.send_response(status)
         self.send_header("Content-Type", "application/json")
@@ -186,73 +264,143 @@ class Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(body)
 
+    def _file(self, path: Path, content_type: str) -> None:
+        if not path.exists():
+            self._json({"error": "not found"}, 404)
+            return
+        body = path.read_bytes()
+        self.send_response(200)
+        self.send_header("Content-Type", content_type)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def _form(self) -> dict:
+        length = int(self.headers.get("Content-Length", 0))
+        raw = self.rfile.read(length).decode()
+        return urllib.parse.parse_qs(raw, keep_blank_values=True)
+
+    # -- GET ------------------------------------------------------------------
+
     def do_GET(self):
-        path = urllib.parse.urlparse(self.path).path
+        parsed = urllib.parse.urlparse(self.path)
+        path = parsed.path
         if path == "/":
-            body = PAGE.encode()
-            self.send_response(200)
-            self.send_header("Content-Type", "text/html; charset=utf-8")
-            self.send_header("Content-Length", str(len(body)))
-            self.end_headers()
-            self.wfile.write(body)
-        elif path == "/stream_output":
-            self.send_response(200)
-            self.send_header("Content-Type", "text/event-stream")
-            self.send_header("Cache-Control", "no-cache")
-            self.end_headers()
-            q = STATE.log_queue
-            if q is None:
-                self.wfile.write(b"data: [error] no generation running\n\n")
+            self._file(REPO_ROOT / "template" / "index.html", "text/html; charset=utf-8")
+        elif path in ("/mai-mod", "/mai_mod"):
+            self._file(REPO_ROOT / "template" / "index_mai_mod.html", "text/html; charset=utf-8")
+        elif path.startswith("/static/"):
+            rel = path[len("/static/"):]
+            target = (REPO_ROOT / "static" / rel).resolve()
+            if not str(target).startswith(str((REPO_ROOT / "static").resolve())):
+                self._json({"error": "forbidden"}, 403)
                 return
-            while True:
-                try:
-                    line = q.get(timeout=60)
-                except queue.Empty:
-                    break
-                try:
-                    self.wfile.write(f"data: {line}\n\n".encode())
-                    self.wfile.flush()
-                except BrokenPipeError:
-                    break
-                if line.startswith("[done]") or line.startswith("[error]"):
-                    break
+            ctype = {
+                ".js": "text/javascript", ".css": "text/css", ".json": "application/json",
+                ".png": "image/png", ".svg": "image/svg+xml",
+            }.get(target.suffix, "application/octet-stream")
+            self._file(target, ctype)
+        elif path == "/models":
+            self._json(list_model_presets())
+        elif path == "/descriptors":
+            self._json(load_descriptors())
+        elif path == "/check_bf16_support":
+            # TPUs support bf16 natively
+            self._json({"supported": True})
+        elif path == "/stream_output":
+            q = urllib.parse.parse_qs(parsed.query)
+            job_id = (q.get("job_id") or [None])[0]
+            self._stream(job_id)
         else:
             self._json({"error": "not found"}, 404)
+
+    def _stream(self, job_id) -> None:
+        with JOBS_LOCK:
+            job = JOBS.get(job_id)
+        if job is None:
+            self._json({"error": "unknown job"}, 404)
+            return
+        self.send_response(200)
+        self.send_header("Content-Type", "text/event-stream")
+        self.send_header("Cache-Control", "no-cache")
+        self.send_header("Connection", "close")
+        self.end_headers()
+        log_queue = job["queue"]
+        proc = job["process"]
+        try:
+            while True:
+                try:
+                    line = log_queue.get(timeout=0.5)
+                except queue.Empty:
+                    if not proc.is_alive():
+                        self.wfile.write(b"data: __DONE__\n\n")
+                        self.wfile.flush()
+                        return
+                    continue
+                for chunk in str(line).splitlines() or [""]:
+                    self.wfile.write(f"data: {chunk}\n\n".encode())
+                self.wfile.flush()
+                if line in ("__DONE__",) or str(line).startswith("__ERROR__"):
+                    return
+        except (BrokenPipeError, ConnectionResetError):
+            return
+
+    # -- POST -----------------------------------------------------------------
 
     def do_POST(self):
         path = urllib.parse.urlparse(self.path).path
-        length = int(self.headers.get("Content-Length", 0))
-        payload = json.loads(self.rfile.read(length) or b"{}")
-
-        if path in ("/start_inference", "/start_mai_mod"):
-            target = _worker if path == "/start_inference" else _mai_mod_worker
-            with STATE.lock:
-                if STATE.process is not None and STATE.process.is_alive():
-                    self._json({"error": "generation already running"}, 409)
-                    return
-                ctx = multiprocessing.get_context("spawn")
-                STATE.log_queue = ctx.Queue()
-                STATE.process = ctx.Process(target=target, args=(payload, STATE.log_queue), daemon=True)
-                STATE.process.start()
-            self._json({"status": "started"})
+        form = self._form()
+        if path == "/start_inference":
+            try:
+                build_inference_config(form)  # validate before spawning
+            except Exception as e:
+                self._json({"status": "error", "message": str(e)}, 400)
+                return
+            job_id = _spawn(_inference_worker, form)
+            self._json({"status": "success", "message": "Inference started", "job_id": job_id}, 202)
+        elif path == "/start_mai_mod":
+            if not _first(form, "beatmap_path"):
+                self._json({"status": "error", "message": "beatmap_path is required"}, 400)
+                return
+            job_id = _spawn(_mai_mod_worker, form)
+            self._json({"status": "success", "message": "Analysis started", "job_id": job_id}, 202)
         elif path == "/cancel_inference":
-            with STATE.lock:
-                if STATE.process is not None and STATE.process.is_alive():
-                    STATE.process.terminate()
-                    if STATE.log_queue is not None:
-                        STATE.log_queue.put("[error] cancelled")
-                    self._json({"status": "cancelled"})
-                else:
-                    self._json({"status": "not running"})
+            job_id = _first(form, "job_id")
+            with JOBS_LOCK:
+                job = JOBS.pop(job_id, None)
+            if job and job["process"].is_alive():
+                job["process"].terminate()
+                self._json({"status": "success", "message": "cancelled"})
+            else:
+                self._json({"status": "not running"})
         elif path == "/validate_paths":
             results = {}
-            for key in ("audio_path", "beatmap_path", "model_path", "output_path"):
-                value = payload.get(key)
+            for key in ("audio_path", "beatmap_path", "model_path", "output_path", "lora_path"):
+                value = _first(form, key)
                 if value:
                     results[key] = Path(value).exists()
             self._json(results)
+        elif path == "/save_config":
+            data = {k: v if len(v) > 1 else v[0] for k, v in form.items()}
+            CONFIG_SAVE_PATH.write_text(json.dumps(data, indent=2))
+            self._json({"status": "success", "path": str(CONFIG_SAVE_PATH)})
+        elif path == "/open_folder":
+            target = _first(form, "path") or "."
+            opener = {"win32": "explorer", "darwin": "open"}.get(sys.platform, "xdg-open")
+            try:
+                subprocess.Popen([opener, target], stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                self._json({"status": "success"})
+            except OSError as e:
+                self._json({"status": "error", "message": str(e)}, 500)
         else:
             self._json({"error": "not found"}, 404)
+
+
+def serve(port: int = 8765, host: str = "127.0.0.1") -> ThreadingHTTPServer:
+    server = ThreadingHTTPServer((host, port), Handler)
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    return server
 
 
 def main(argv=None) -> None:
@@ -260,9 +408,23 @@ def main(argv=None) -> None:
     port = 8765
     if "--port" in argv:
         port = int(argv[argv.index("--port") + 1])
+    url = f"http://127.0.0.1:{port}"
+    if "--window" in argv:
+        try:
+            import webview  # pywebview desktop shell (reference web-ui.py:1000-1034)
+
+            serve(port)
+            webview.create_window("Mapperatorinator TPU", url)
+            webview.start()
+            return
+        except ImportError:
+            print("pywebview not available; serving in browser mode")
     server = ThreadingHTTPServer(("127.0.0.1", port), Handler)
-    print(f"Mapperatorinator web UI at http://127.0.0.1:{port}")
-    server.serve_forever()
+    print(f"Mapperatorinator web UI at {url}")
+    try:
+        server.serve_forever()
+    except KeyboardInterrupt:
+        pass
 
 
 if __name__ == "__main__":
