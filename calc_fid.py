@@ -35,23 +35,82 @@ from mapperatorinator_tpu.osu import Beatmap
 
 
 def get_beatmap_paths(args) -> list[Path]:
-    """ORS-layout dataset scan filtered by gamemode (reference:
-    calc_fid.py:288-356)."""
-    paths = []
+    """Flat path list over all requested gamemodes."""
+    return [p for paths in get_beatmap_paths_by_gamemode(args).values() for p in paths]
+
+
+def get_beatmap_paths_by_gamemode(args) -> dict[int, list[Path]]:
+    """Dataset scan grouped by gamemode with year/difficulty filters
+    (reference: calc_fid.py:288-356). ORS reads Mode from each .osu; MMRS
+    filters the parquet metadata."""
     root = Path(args.dataset_path)
-    for i in range(args.dataset_start, args.dataset_end):
-        track = root / f"Track{i:05d}"
-        beatmaps = track / "beatmaps"
-        if not beatmaps.is_dir():
-            continue
-        for p in sorted(beatmaps.glob("*.osu")):
-            try:
-                bm = Beatmap.from_path(p)
-            except Exception:
+    by_gm: dict[int, list[Path]] = {}
+
+    if args.dataset_type == "mmrs":
+        from mapperatorinator_tpu.train.data.mmrs import (
+            filter_mmrs_metadata,
+            load_mmrs_metadata,
+        )
+
+        df = load_mmrs_metadata(root)
+        df = filter_mmrs_metadata(
+            df,
+            start=args.dataset_start,
+            end=args.dataset_end,
+            gamemodes=list(args.gamemodes),
+            min_year=args.min_year,
+            max_year=args.max_year,
+            min_difficulty=args.min_difficulty,
+            max_difficulty=args.max_difficulty,
+        )
+        for _, item in df.iterrows():
+            gm = int(item["ModeInt"])
+            by_gm.setdefault(gm, []).append(
+                root / "data" / item["BeatmapSetFolder"] / item["BeatmapFile"]
+            )
+    elif args.dataset_type == "ors":
+        for i in range(args.dataset_start, args.dataset_end):
+            beatmaps = root / f"Track{i:05d}" / "beatmaps"
+            if not beatmaps.is_dir():
                 continue
-            if bm.mode in args.gamemodes:
-                paths.append(p)
-    return paths
+            for p in sorted(beatmaps.glob("*.osu")):
+                try:
+                    bm = Beatmap.from_path(p)
+                except Exception:
+                    continue
+                if bm.mode in args.gamemodes:
+                    by_gm.setdefault(bm.mode, []).append(p)
+    else:
+        raise ValueError(f"Unknown dataset type: {args.dataset_type}")
+
+    return dict(sorted(by_gm.items()))
+
+
+def test_training_set_overlap(beatmap_paths: list[Path], training_set_ids_path) -> dict:
+    """Report how many held-out maps leak from the training set
+    (reference: calc_fid.py:758-779)."""
+    if not training_set_ids_path:
+        return {}
+    path = Path(training_set_ids_path)
+    if not path.exists():
+        print(f"training set IDs file {path} does not exist")
+        return {}
+    with open(path, encoding="utf-8") as f:
+        ids = {int(line.strip()) for line in f if line.strip()}
+    in_set = out_set = 0
+    for p in beatmap_paths:
+        try:
+            bm = Beatmap.from_path(p)
+        except Exception:
+            continue
+        if bm.beatmap_id in ids:
+            in_set += 1
+        else:
+            out_set += 1
+    total = in_set + out_set
+    ratio = in_set / total if total else 0.0
+    print(f"In training set: {in_set}, not in training set: {out_set}, ratio: {ratio:.2f}")
+    return {"training_set_overlap": {"in": in_set, "out": out_set, "ratio": ratio}}
 
 
 def generate_beatmaps(beatmap_paths, args, engine, vocab, logger=None) -> dict:
@@ -68,7 +127,7 @@ def generate_beatmaps(beatmap_paths, args, engine, vocab, logger=None) -> dict:
         audio_candidates = list(path.parents[1].glob("audio.*"))  # ORS layout
         if audio_candidates:
             i_args.audio_path = str(audio_candidates[0])
-        i_args.output_path = str(Path(args.dataset_path) / "generated")
+        i_args.output_path = str(Path(args.dataset_path) / "generated" / path.stem)
         i_args.train = args.inference.train
         compile_args(i_args, vocab, verbose=False)
         generation_config, beatmap_config = get_config(i_args)
@@ -359,24 +418,76 @@ def cm3p_fid(pairs, args) -> dict:
     )
 
 
-def main(argv=None):
+def _generation_worker(chunk, args, gamemode: int, idx: int) -> None:
+    """One fan-out worker: loads the (gamemode-resolved) model and
+    regenerates its chunk (reference: calc_fid.py:496-578). Results land in
+    <dataset>/generated/<stem>.osu, so workers are restart-safe."""
     from inference import load_model
 
+    args.inference.gamemode = gamemode
+    engine, vocab = load_model(args.inference)
+    generate_beatmaps(chunk, args, engine, vocab)
+
+
+def _fan_out_generation(paths_by_gm: dict, args) -> None:
+    """Per-gamemode round-robin fan-out over num_processes workers
+    (reference: calc_fid.py:800-836). num_processes <= 0 runs inline."""
+    import multiprocessing
+
+    gamemode_names = {0: "std", 1: "taiko", 2: "catch", 3: "mania"}
+    for gm, gm_paths in paths_by_gm.items():
+        pending = [p for p in gm_paths if not _already_generated(p, args)]
+        print(f"=== Generating {gamemode_names.get(gm, gm)}: "
+              f"{len(pending)} of {len(gm_paths)} maps pending ===")
+        if not pending:
+            continue
+        n = max(args.num_processes, 1)
+        chunks = [pending[i::n] for i in range(n)]
+        if args.num_processes <= 0:
+            _generation_worker(chunks[0], args, gm, 0)
+            continue
+        ctx = multiprocessing.get_context("spawn")
+        procs = [
+            ctx.Process(target=_generation_worker, args=(chunk, args, gm, i))
+            for i, chunk in enumerate(chunks) if chunk
+        ]
+        for proc in procs:
+            proc.start()
+        for proc in procs:
+            proc.join()
+        failed = [proc.exitcode for proc in procs if proc.exitcode]
+        if failed:
+            print(f"warning: {len(failed)} generation workers exited nonzero")
+
+
+def _already_generated(path: Path, args) -> bool:
+    out = Path(args.dataset_path) / "generated" / path.stem
+    return out.is_dir() and any(out.glob("*.osu"))
+
+
+def _generated_for(path: Path, args):
+    out = Path(args.dataset_path) / "generated" / path.stem
+    found = sorted(out.glob("*.osu")) if out.is_dir() else []
+    return found[0] if found else None
+
+
+def main(argv=None):
     argv = sys.argv[1:] if argv is None else argv
     overrides = list(argv)
     args = compose(REPO_ROOT / "configs", "calc_fid", overrides=overrides, schema_cls=schema.FidConfig)
 
-    beatmap_paths = get_beatmap_paths(args)
-    print(f"Evaluating {len(beatmap_paths)} beatmaps")
-
-    engine, vocab = load_model(args.inference)
+    paths_by_gm = get_beatmap_paths_by_gamemode(args)
+    beatmap_paths = [p for paths in paths_by_gm.values() for p in paths]
+    print(f"Evaluating {len(beatmap_paths)} beatmaps across gamemodes {sorted(paths_by_gm)}")
 
     results = {}
+    results.update(test_training_set_overlap(beatmap_paths, args.training_set_ids_path))
+
     if not args.skip_generation:
-        generated = generate_beatmaps(beatmap_paths, args, engine, vocab)
-    else:
-        gen_dir = Path(args.dataset_path) / "generated"
-        generated = {str(p): str(gen_dir / p.name) for p in beatmap_paths if (gen_dir / p.name).exists()}
+        _fan_out_generation(paths_by_gm, args)
+    generated = {
+        str(p): str(g) for p in beatmap_paths if (g := _generated_for(p, args)) is not None
+    }
 
     pairs = [(Path(r), Path(g)) for r, g in generated.items() if Path(g).exists()]
     if args.rhythm_stats and pairs:

@@ -320,8 +320,14 @@ def generate(
             verbose=verbose,
         )[0]
         timing_events, timing_times = events_of_type(timing_events, timing_times, TIMING_TYPES)
-        timing = renderer.generate_timing(timing_events)
-        extra_in_context[ContextType.TIMING] = timing
+        if timing_events:
+            timing = renderer.generate_timing(timing_events)
+            extra_in_context[ContextType.TIMING] = timing
+        elif verbose:
+            logger.warning(
+                "timing pass produced no timing events; falling back to the "
+                "fixed bpm/offset redline"
+            )
         if ContextType.TIMING in output_type:
             output_type.remove(ContextType.TIMING)
     elif ContextType.TIMING in args.in_context or (
@@ -342,7 +348,8 @@ def generate(
         events, _ = reduce(merge_events, result)
 
         if timing is None and (ContextType.TIMING in args.output_type or args.train.data.add_timing):
-            timing = renderer.generate_timing(events)
+            if any(e.type in TIMING_TYPES for e in events):
+                timing = renderer.generate_timing(events)
         if args.resnap_events and timing is not None:
             events = renderer.resnap_events(events, timing)
     else:

@@ -42,6 +42,11 @@ def _load_library():
         lib.osu_std_stars.restype = ctypes.c_double
         lib.osu_std_stars.argtypes = [_F64P, _F64P, _F64P, _I32P, ctypes.c_int32,
                                       ctypes.c_double, ctypes.c_double]
+        lib.osu_std_stars_v2.restype = ctypes.c_double
+        lib.osu_std_stars_v2.argtypes = [_F64P, _F64P, _F64P, _I32P,
+                                         _F64P, _F64P, _F64P, _F64P, _F64P, _F64P,
+                                         ctypes.c_int32, ctypes.c_double,
+                                         ctypes.c_double, ctypes.c_double]
         lib.taiko_stars.restype = ctypes.c_double
         lib.taiko_stars.argtypes = [_F64P, _I32P, ctypes.c_int32, ctypes.c_double]
         lib.mania_stars.restype = ctypes.c_double
@@ -102,23 +107,116 @@ def beatmap_stars(beatmap, speed: float = 1.0) -> float:
         x, xp = _arr_f64(xs)
         return float(lib.catch_stars(tp, xp, len(objs), float(beatmap.circle_size), float(speed)))
 
-    # osu!standard
+    # osu!standard — current (lazer 2022+/rosu-pp) algorithm. Slider lazy
+    # travel is resolved here via the follow-circle cursor simulation
+    # (lazer OsuDifficultyHitObject.computeSliderCursorPosition); the C++
+    # side runs the Aim/Speed/Rhythm evaluators and the star combination.
+    # Known divergence: positions are unstacked (stacking shifts overlapped
+    # notes by ~3px/layer; effect on star rating is small).
+    radius = 32.0 * (1.0 - 0.7 * (beatmap.circle_size - 5.0) / 5.0)
     xs, ys, types = [], [], []
+    lazy_ex, lazy_ey, travel_d, travel_t, tail_xs, tail_ys = [], [], [], [], [], []
     for h in objs:
         if isinstance(h, Spinner):
-            xs.append(256.0)
-            ys.append(192.0)
-            types.append(2)
+            xs.append(256.0); ys.append(192.0); types.append(2)
         else:
-            xs.append(float(h.x))
-            ys.append(float(h.y))
+            xs.append(float(h.x)); ys.append(float(h.y))
             types.append(1 if isinstance(h, Slider) else 0)
+        if isinstance(h, Slider):
+            tp_at = beatmap.timing_point_at(h.time)
+            beat_length = 60000.0 / tp_at.bpm if tp_at is not None and tp_at.bpm else 500.0
+            lend, ldist, ltime, tail = _slider_lazy_travel(
+                h, radius, beat_length, beatmap.slider_tick_rate or 1.0
+            )
+            lazy_ex.append(lend[0]); lazy_ey.append(lend[1])
+            travel_d.append(ldist); travel_t.append(ltime)
+            tail_xs.append(tail[0]); tail_ys.append(tail[1])
+        else:
+            lazy_ex.append(xs[-1]); lazy_ey.append(ys[-1])
+            travel_d.append(0.0); travel_t.append(0.0)
+            tail_xs.append(xs[-1]); tail_ys.append(ys[-1])
     t, tp = _arr_f64(times)
     x, xp = _arr_f64(xs)
     y, yp = _arr_f64(ys)
     ty, typ = _arr_i32(types)
-    return float(lib.osu_std_stars(tp, xp, yp, typ, len(objs),
-                                   float(beatmap.circle_size), float(speed)))
+    lex, lexp = _arr_f64(lazy_ex)
+    ley, leyp = _arr_f64(lazy_ey)
+    td, tdp = _arr_f64(travel_d)
+    tt, ttp = _arr_f64(travel_t)
+    tx, txp = _arr_f64(tail_xs)
+    tyy, typp = _arr_f64(tail_ys)
+    return float(lib.osu_std_stars_v2(
+        tp, xp, yp, typ, lexp, leyp, tdp, ttp, txp, typp,
+        len(objs), float(radius), float(beatmap.overall_difficulty), float(speed)))
+
+
+def _slider_nested(slider, beat_length: float, tick_rate: float):
+    """Nested-object (time, span-progress) samples: ticks, repeats, tail
+    (lazer SliderEventGenerator semantics, simplified: no tick offset)."""
+    span = max(slider.span_duration, 1.0)
+    tick_dt = max(beat_length / max(tick_rate, 0.1), 1.0)
+    nested = []
+    for s in range(max(slider.repeat, 1)):
+        start = slider.time + s * span
+        forward = s % 2 == 0
+        k = 1
+        while k * tick_dt < span - 10.0 and k < 1000:
+            prog = k * tick_dt / span
+            nested.append((start + k * tick_dt, prog if forward else 1.0 - prog))
+            k += 1
+        nested.append((start + span, 1.0 if forward else 0.0))
+    return nested
+
+
+def _slider_lazy_travel(slider, radius: float, beat_length: float, tick_rate: float):
+    """Follow-circle cursor simulation -> (lazy_end_pos, lazy_travel_dist
+    [normalized], lazy_travel_time [ms], tail_pos). Ports lazer's
+    OsuDifficultyHitObject.computeSliderCursorPosition."""
+    assumed_slider_radius = 50.0 * 1.8
+    scaling = 50.0 / max(radius, 1e-6)
+
+    span = max(slider.span_duration, 1.0)
+    duration = max(slider.duration, 1.0)
+    # legacy last tick: the tracked end is 36 ms early, at least mid-duration
+    tracking_end = max(slider.time + duration - 36.0, slider.time + duration / 2.0)
+    lazy_travel_time = tracking_end - slider.time
+
+    end_time_min = lazy_travel_time / span
+    if end_time_min % 2 >= 1:
+        end_time_min = 1 - end_time_min % 1
+    else:
+        end_time_min %= 1
+
+    pos_at = slider.position_at_progress
+    lazy_end = np.asarray(pos_at(end_time_min), dtype=float)
+    tail = np.asarray(pos_at(1.0 if slider.repeat % 2 == 1 else 0.0), dtype=float)
+
+    nested = _slider_nested(slider, beat_length, tick_rate)
+    if nested:
+        # replace the final nested event with the tracked end
+        nested[-1] = (tracking_end, end_time_min)
+
+    curr = np.asarray([slider.x, slider.y], dtype=float)
+    lazy_travel_dist = 0.0
+    for i, (_, prog) in enumerate(nested):
+        pos = np.asarray(pos_at(prog), dtype=float)
+        movement = pos - curr
+        movement_len = scaling * float(np.hypot(*movement))
+        if i == len(nested) - 1:
+            end_movement = lazy_end - curr
+            end_len = scaling * float(np.hypot(*end_movement))
+            if end_len < movement_len:
+                movement, movement_len = end_movement, end_len
+        if movement_len > assumed_slider_radius:
+            frac = (movement_len - assumed_slider_radius) / movement_len
+            curr = curr + movement * frac
+            lazy_travel_dist += movement_len * frac
+        if i == len(nested) - 1:
+            lazy_end = curr
+    repeat_count = max(slider.repeat - 1, 0)
+    lazy_travel_dist *= (1 + repeat_count / 2.5) ** (1.0 / 2.5)
+    return (float(lazy_end[0]), float(lazy_end[1])), lazy_travel_dist, lazy_travel_time, (
+        float(tail[0]), float(tail[1]))
 
 
 def calculate_difficulty(content: Optional[str] = None, path=None, speed: float = 1.0) -> Optional[float]:

@@ -86,3 +86,59 @@ def test_empty_args_returns_none():
 def test_beatmap_stars_direct():
     bm = Beatmap.from_path(FIXTURE)
     assert beatmap_stars(bm) == pytest.approx(calculate_difficulty(path=FIXTURE), abs=0.01)
+
+
+# ---------------------------------------------------------------------------
+# modern (lazer 2022+/rosu-pp) osu!std algorithm (VERDICT r1 item 5)
+# ---------------------------------------------------------------------------
+
+
+def test_modern_std_plausible_on_real_extra():
+    """Committed real map (Sotarks 'Your Adventure!', AR9.5 Extra): the
+    modern algorithm must land in the published Extra range, far from the
+    2014 formula's scale. No offline ground truth exists for bit-parity (no
+    rosu-pp wheel, zero egress); the algorithm structure is the current one."""
+    stars = calculate_difficulty(path=FIXTURE)
+    assert 4.5 < stars < 8.0
+
+
+def test_modern_std_dt_ratio_plausible():
+    """DT raises an Extra by ~1.3-1.6x under the current algorithm."""
+    nm = calculate_difficulty(path=FIXTURE)
+    dt = calculate_difficulty(path=FIXTURE, speed=1.5)
+    assert 1.2 < dt / nm < 1.7
+
+
+def test_modern_std_sliders_contribute():
+    """Slider travel feeds aim: turning circles into long sliders must not
+    zero the rating, and a slider-heavy map rates above the same rhythm with
+    stationary circles at one point."""
+    base = """osu file format v14
+
+[General]
+Mode: 0
+
+[Difficulty]
+CircleSize:4
+OverallDifficulty:8
+SliderMultiplier:1.4
+SliderTickRate:1
+
+[TimingPoints]
+0,400,4,2,0,70,1,0
+
+[HitObjects]
+{objects}
+"""
+    stationary = "\n".join(f"256,192,{t},1,0,0:0:0:0:" for t in range(0, 8000, 400))
+    sliders = "\n".join(
+        f"100,192,{t},2,0,B|400:192,1,280,0|0,0:0|0:0,0:0:0:0:" for t in range(0, 8000, 800)
+    )
+    s_still = calculate_difficulty(content=base.format(objects=stationary))
+    s_slider = calculate_difficulty(content=base.format(objects=sliders))
+    assert s_slider is not None and s_still is not None
+    assert s_slider > s_still
+
+
+def test_modern_std_deterministic():
+    assert calculate_difficulty(path=FIXTURE) == calculate_difficulty(path=FIXTURE)
