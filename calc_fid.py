@@ -142,6 +142,9 @@ def generate_beatmaps(beatmap_paths, args, engine, vocab, logger=None) -> dict:
             )
             results[str(path)] = str(result_path)
         except Exception as e:
+            import traceback
+
+            traceback.print_exc()
             print(f"generation failed for {path}: {e}")
     return results
 

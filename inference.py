@@ -320,14 +320,16 @@ def generate(
             verbose=verbose,
         )[0]
         timing_events, timing_times = events_of_type(timing_events, timing_times, TIMING_TYPES)
-        if timing_events:
-            timing = renderer.generate_timing(timing_events)
+        timing = renderer.generate_timing(timing_events) if timing_events else None
+        if timing:
             extra_in_context[ContextType.TIMING] = timing
-        elif verbose:
-            logger.warning(
-                "timing pass produced no timing events; falling back to the "
-                "fixed bpm/offset redline"
-            )
+        else:
+            timing = None
+            if verbose:
+                logger.warning(
+                    "timing pass produced no usable timing; falling back to "
+                    "the fixed bpm/offset redline"
+                )
         if ContextType.TIMING in output_type:
             output_type.remove(ContextType.TIMING)
     elif ContextType.TIMING in args.in_context or (

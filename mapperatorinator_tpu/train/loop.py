@@ -45,7 +45,13 @@ class Averager:
                 self.counter[key] = value.size
 
     def average(self) -> dict:
-        out = {key: float(self.total[key] / self.counter[key]) for key in self.total}
+        # empty-slice stats (e.g. a context type absent from the eval batch)
+        # carry counter 0 — skip them instead of emitting a 0/0 warning
+        out = {
+            key: float(self.total[key] / self.counter[key])
+            for key in self.total
+            if self.counter[key] > 0
+        }
         self.reset()
         return out
 
@@ -208,6 +214,49 @@ class MetricsLogger:
             self.tb.close()
 
 
+def _estimate_step_flops(state) -> float:
+    """~FLOPs per processed token for one fwd+bwd step: the standard
+    6 * N_params estimate (fwd 2N, bwd 4N). Good to ~10-20% for transformer
+    stacks — enough for an MFU gauge."""
+    try:
+        n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(state.params))
+    except Exception:
+        return 0.0
+    return 6.0 * float(n_params)
+
+
+def _batch_tokens(batch: dict) -> float:
+    """Tokens processed per step: decoder positions + encoder frames."""
+    tokens = 0.0
+    ids = batch.get("decoder_input_ids")
+    if ids is not None:
+        tokens += float(np.prod(np.asarray(ids).shape))
+    frames = batch.get("frames")
+    if frames is not None and hasattr(frames, "shape"):
+        # raw samples -> mel frames (hop 128), halved by the conv stem
+        tokens += float(np.asarray(frames).shape[0]) * (np.asarray(frames).shape[-1] / 128.0) / 2.0
+    return tokens
+
+
+def _device_peak_flops() -> float:
+    """Peak bf16 FLOPs of one chip, from the device kind (0 when unknown —
+    MFU is then omitted rather than misreported)."""
+    kind = jax.devices()[0].device_kind.lower()
+    table = {
+        "tpu v5 lite": 197e12,  # v5e
+        "tpu v5e": 197e12,
+        "tpu v5p": 459e12,
+        "tpu v5": 459e12,
+        "tpu v4": 275e12,
+        "tpu v6e": 918e12,
+        "tpu v6 lite": 918e12,
+    }
+    for key, val in table.items():
+        if key in kind:
+            return val
+    return 0.0
+
+
 def train(
     *,
     train_step: Callable,
@@ -230,6 +279,8 @@ def train(
     averager = Averager()
     last_log = time.time()
     profiling = False
+    flops_per_step = _estimate_step_flops(state)
+    peak_flops = _device_peak_flops() * max(jax.device_count(), 1)
 
     step = int(state.step)
     while step < args.optim.total_steps:
@@ -261,6 +312,11 @@ def train(
             if logger is not None and step % args.logging.every_steps == 0:
                 stats = averager.average()
                 stats["seconds_per_step"] = (time.time() - last_log) / args.logging.every_steps
+                if flops_per_step and peak_flops and stats["seconds_per_step"] > 0:
+                    # tokens processed this step: decoder labels + encoder frames
+                    tokens = _batch_tokens(batch)
+                    achieved = flops_per_step * tokens / stats["seconds_per_step"]
+                    stats["mfu"] = achieved / peak_flops
                 last_log = time.time()
                 logger.log(add_prefix("train", stats), step)
 
