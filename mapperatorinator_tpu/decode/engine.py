@@ -153,16 +153,22 @@ class DecodeEngine:
         max_length: Optional[int] = None,
         length_penalty: float = 1.0,
         seed: int = 0,
+        cfg_scale: float = 1.0,
     ) -> np.ndarray:
         """HF-style beam search (num_beams > 1; reference uses GenerationMixin
         beam search / beam sample for the super-timing generator when
         timer_num_beams > 1). With a sampling pipeline the 2N candidates are
         drawn without replacement via gumbel-top-k on the processed scores
-        (distributionally HF's multinomial draw). CFG dual-batching is not
-        combined with beams. Returns (B, max_length) right-padded best
-        hypotheses."""
+        (distributionally HF's multinomial draw). With cfg_scale > 1 the
+        caller passes the folded dual batch [negative; positive] (rows 2B)
+        and guidance is applied before beam selection, matching the
+        reference's CFG-processor-first ordering (server.py:105-108).
+        Returns (B, max_length) right-padded best hypotheses."""
         max_length = max_length or self.max_length
-        B, P_orig = decoder_input_ids.shape
+        use_cfg = cfg_scale > 1.0
+        B_rows, P_orig = decoder_input_ids.shape
+        B = B_rows // 2 if use_cfg else B_rows
+        assert not use_cfg or B_rows % 2 == 0, "CFG fold needs an even row count"
         assert P_orig < max_length
 
         if decoder_attention_mask is None:
@@ -178,10 +184,10 @@ class DecodeEngine:
         for e in eos_ids:
             eos_mask[e] = True
 
-        key = ("beams", B, P, max_length, pipeline, num_beams, length_penalty)
+        key = ("beams", B, P, max_length, pipeline, num_beams, length_penalty, cfg_scale)
         fn = self._generate_fn_cache.get(key)
         if fn is None:
-            fn = self._build_beam_fn(B, P, max_length, pipeline, num_beams, length_penalty)
+            fn = self._build_beam_fn(B, P, max_length, pipeline, num_beams, length_penalty, cfg_scale)
             self._generate_fn_cache[key] = fn
 
         tokens, lengths = fn(
@@ -242,13 +248,18 @@ class DecodeEngine:
     # -- compiled internals -------------------------------------------------------
 
     def _build_beam_fn(self, B: int, P: int, max_length: int, pipeline: LogitsPipeline,
-                       N: int, length_penalty: float):
+                       N: int, length_penalty: float, cfg_scale: float = 1.0):
         """Beam search as one jitted while_loop: top-2N candidate expansion,
         EOS candidates retire into a per-batch top-N finished set, live beams
-        reorder the KV cache and processor state by gather."""
+        reorder the KV cache and processor state by gather. With CFG the row
+        layout is [negative(BN); positive(BN)]: guidance folds the halves
+        before selection and every beam reorder gathers both halves with the
+        same indices."""
         model = self.model
         pad_id = self.pad_token_id
         BN = B * N
+        use_cfg = cfg_scale > 1.0
+        R = 2 * BN if use_cfg else BN  # model-facing row count
         NEG = jnp.float32(-1e9)
 
         def apply(params, method, *args, **kw):
@@ -256,16 +267,39 @@ class DecodeEngine:
 
         buffer_len = P + max_length
 
+        def expand(x):
+            # (B|2B, ...) -> (BN|2BN, ...), repeating each row N times per half
+            if use_cfg:
+                neg, pos = jnp.split(x, 2, axis=0)
+                return jnp.concatenate([jnp.repeat(neg, N, axis=0), jnp.repeat(pos, N, axis=0)], axis=0)
+            return jnp.repeat(x, N, axis=0)
+
+        def fold(step_logits):
+            # (R, V) model logits -> (BN, V) scores. HF's beam paths apply
+            # log_softmax to the raw logits BEFORE the processor chain and
+            # never renormalize afterwards (GenerationMixin._beam_search);
+            # CFG then folds the log-softmaxed halves.
+            logp = jax.nn.log_softmax(step_logits, axis=-1)
+            if use_cfg:
+                neg, pos = jnp.split(logp, 2, axis=0)
+                return pos + (neg - pos) * cfg_scale
+            return logp
+
+        def both_halves(idx):
+            # beam-reorder gather indices for the full row set
+            if use_cfg:
+                return jnp.concatenate([idx, idx + BN], axis=0)
+            return idx
+
         @jax.jit
         def generate(params, encoder_states, prompt_ids, prompt_mask, eos_mask, gen_limit, rng):
-            # expand to beams: (B, ...) -> (B*N, ...)
-            enc = jnp.repeat(encoder_states, N, axis=0)
-            prompt_ids_bn = jnp.repeat(prompt_ids, N, axis=0)
-            prompt_mask_bn = jnp.repeat(prompt_mask, N, axis=0)
+            enc = expand(encoder_states)
+            prompt_ids_bn = expand(prompt_ids)
+            prompt_mask_bn = expand(prompt_mask)
 
-            cache = apply(params, "init_cache", BN, buffer_len, enc)
-            tokens = jnp.full((BN, buffer_len), pad_id, jnp.int32).at[:, :P].set(prompt_ids_bn)
-            attn = jnp.zeros((BN, buffer_len), bool).at[:, :P].set(prompt_mask_bn)
+            cache = apply(params, "init_cache", R, buffer_len, enc)
+            tokens = jnp.full((R, buffer_len), pad_id, jnp.int32).at[:, :P].set(prompt_ids_bn)
+            attn = jnp.zeros((R, buffer_len), bool).at[:, :P].set(prompt_mask_bn)
             prompt_positions = jnp.clip(jnp.cumsum(prompt_mask_bn, axis=1) - 1, 0)
             n_valid = prompt_mask_bn.sum(axis=1).astype(jnp.int32)
 
@@ -274,7 +308,7 @@ class DecodeEngine:
                 params, "decode_step", prompt_embeds, cache, 0,
                 self_mask=attn[:, None, None, :], positions=prompt_positions,
             )
-            last_logits = logits[:, -1].astype(jnp.float32)
+            last_logits = fold(logits[:, -1].astype(jnp.float32))
 
             lstate = pipeline.init_state(BN)
             beam_scores = jnp.full((B, N), NEG).at[:, 0].set(0.0)
@@ -290,8 +324,9 @@ class DecodeEngine:
                 # token being emitted (BeamHypotheses.add)
                 gen_len = jnp.maximum((cur_len - P).astype(jnp.float32), 1.0)
 
-                lstate2, scores = pipeline(carry.logits_state, step_logits)
-                logp = jax.nn.log_softmax(scores, axis=-1)  # (BN, V)
+                # step_logits are already log-softmaxed (see fold); the
+                # processor chain runs on log-probs, matching HF beam order
+                lstate2, logp = pipeline(carry.logits_state, step_logits)
                 cand = carry.beam_scores[:, :, None] + logp.reshape(B, N, vocab)
                 cand = cand.reshape(B, N * vocab)
                 rng2 = carry.rng
@@ -312,14 +347,15 @@ class DecodeEngine:
                 # --- retire EOS candidates into the finished set -------------
                 cand_norm = top_vals / gen_len**length_penalty
                 cand_fin_scores = jnp.where(is_eos, cand_norm, NEG)  # (B, 2N)
-                flat_src = carry.tokens.reshape(B, N, buffer_len)
+                pos_tokens = carry.tokens[BN:] if use_cfg else carry.tokens
+                flat_src = pos_tokens.reshape(B, N, buffer_len)
                 cand_rows = jnp.take_along_axis(flat_src, beam_idx[:, :, None], axis=1)  # (B,2N,L)
                 cand_rows = jax.vmap(
                     lambda rows, toks: jax.vmap(
                         lambda row, tok: jax.lax.dynamic_update_slice(row, tok[None], (cur_len,))
                     )(rows, toks)
                 )(cand_rows, token_ids)
-                nv = carry.n_valid.reshape(B, N)
+                nv = (carry.n_valid[BN:] if use_cfg else carry.n_valid).reshape(B, N)
                 cand_lengths = jnp.take_along_axis(nv, beam_idx, axis=1) + 1
 
                 all_scores = jnp.concatenate([carry.fin_scores, cand_fin_scores], axis=1)  # (B,3N)
@@ -335,15 +371,21 @@ class DecodeEngine:
                 sel_beam = jnp.take_along_axis(beam_idx, sel, axis=1)  # (B, N)
                 sel_tok = jnp.take_along_axis(token_ids, sel, axis=1)
                 global_idx = (jnp.arange(B)[:, None] * N + sel_beam).reshape(BN)
+                row_idx = both_halves(global_idx)
 
-                tokens2 = carry.tokens[global_idx]
-                tokens2 = jax.lax.dynamic_update_slice(
-                    tokens2, sel_tok.reshape(BN, 1), (0, cur_len)
-                )
-                attn2 = carry.attention_mask[global_idx]
-                attn2 = jax.lax.dynamic_update_slice(attn2, jnp.ones((BN, 1), bool), (0, cur_len))
-                n_valid2 = carry.n_valid[global_idx] + 1
-                cache2 = jax.tree.map(lambda x: x[global_idx], carry.cache)
+                tokens2 = carry.tokens[row_idx]
+                sel_rows = jnp.tile(sel_tok.reshape(BN, 1), (2, 1)) if use_cfg else sel_tok.reshape(BN, 1)
+                tokens2 = jax.lax.dynamic_update_slice(tokens2, sel_rows, (0, cur_len))
+                attn2 = carry.attention_mask[row_idx]
+                attn2 = jax.lax.dynamic_update_slice(attn2, jnp.ones((R, 1), bool), (0, cur_len))
+                n_valid2 = carry.n_valid[row_idx] + 1
+                # KV-cache reorder quirk: the reference reorders BOTH halves
+                # with beam_idx.repeat(2) (cache_utils.py:16-20), i.e. the
+                # positive half's cache is re-gathered from NEGATIVE-half
+                # rows — from step 2 on, both halves decode over the
+                # negative-prompt KV history. Replicated for token parity.
+                cache_idx = jnp.concatenate([global_idx, global_idx]) if use_cfg else global_idx
+                cache2 = jax.tree.map(lambda x: x[cache_idx], carry.cache)
                 lstate3 = jax.tree.map(
                     lambda x: x[global_idx] if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] == BN else x,
                     lstate2,
@@ -375,14 +417,14 @@ class DecodeEngine:
                 return (c.cur_len < P + gen_limit) & ~jnp.all(done)
 
             def body(c: BeamCarry):
-                last = jax.lax.dynamic_slice(c.tokens, (0, c.cur_len - 1), (BN, 1))
+                last = jax.lax.dynamic_slice(c.tokens, (0, c.cur_len - 1), (R, 1))
                 last_embeds = apply(params, "embed_tokens", last)
                 logits, cache2 = apply(
                     params, "decode_step", last_embeds, c.cache, c.cur_len - 1,
                     self_mask=c.attention_mask[:, None, None, :],
                     positions=(c.n_valid - 1)[:, None],
                 )
-                return step(c._replace(cache=cache2), logits[:, -1].astype(jnp.float32))
+                return step(c._replace(cache=cache2), fold(logits[:, -1].astype(jnp.float32)))
 
             final = jax.lax.while_loop(cond, body, carry)
 
@@ -390,11 +432,13 @@ class DecodeEngine:
             gen_len = (final.cur_len - P).astype(jnp.float32)
             live_norm = final.beam_scores / jnp.maximum(gen_len, 1.0) ** length_penalty
             merged_scores = jnp.concatenate([final.fin_scores, live_norm], axis=1)  # (B, 2N)
+            pos_tokens = final.tokens[BN:] if use_cfg else final.tokens
+            pos_n_valid = final.n_valid[BN:] if use_cfg else final.n_valid
             merged_tokens = jnp.concatenate(
-                [final.fin_tokens, final.tokens.reshape(B, N, buffer_len)], axis=1
+                [final.fin_tokens, pos_tokens.reshape(B, N, buffer_len)], axis=1
             )
             merged_lengths = jnp.concatenate(
-                [final.fin_lengths, final.n_valid.reshape(B, N)], axis=1
+                [final.fin_lengths, pos_n_valid.reshape(B, N)], axis=1
             )
             best = jnp.argmax(merged_scores, axis=1)
             out_tokens = jnp.take_along_axis(merged_tokens, best[:, None, None], axis=1)[:, 0]

@@ -272,8 +272,9 @@ class Processor:
         if self.num_beams > 1:
             # beam search / beam sample (reference: HF GenerationMixin
             # num_beams paths, used by the super-timing generator when
-            # timer_num_beams > 1); beams are not combined with CFG
-            assert self.cfg_scale <= 1 or uncond_prompt is None, "beams + CFG unsupported"
+            # timer_num_beams > 1); with CFG the folded [negative; positive]
+            # rows flow through the beam loop (reference get_cache sizes the
+            # cache batch*beams*2, cache_utils.py:23-35)
             tokens, _ = self.engine.generate_beams(
                 encoder_states,
                 prompts,
@@ -282,6 +283,7 @@ class Processor:
                 num_beams=self.num_beams,
                 max_length=self.tgt_seq_len,
                 seed=self._next_seed(),
+                cfg_scale=self.cfg_scale if uncond_prompt is not None else 1.0,
             )
         else:
             tokens, _ = self.engine.generate(
@@ -295,7 +297,8 @@ class Processor:
             )
         elapsed = _time.perf_counter() - t0
 
-        if self.cfg_scale > 1 and uncond_prompt is not None:
+        if self.cfg_scale > 1 and uncond_prompt is not None and self.num_beams <= 1:
+            # beams already return only the positive-half best hypotheses
             tokens = tokens[tokens.shape[0] // 2 :]
 
         gen_count = int((tokens != self.vocab.pad_id).sum()) - int((prompts != self.vocab.pad_id).sum())

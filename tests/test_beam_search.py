@@ -57,8 +57,11 @@ def _reference_beam_search(model, params, enc_row, prompt, num_beams, eos_id, ma
             ids = jnp.asarray([tokens], jnp.int32)
             logits = model.apply(params, features=None, decoder_input_ids=ids,
                                  encoder_states=enc_row[None])
-            state2, scores = pipeline(state, logits[:, -1].astype(jnp.float32))
-            logp = np.asarray(jax.nn.log_softmax(scores, axis=-1))[0]
+            # HF beam order: log_softmax the raw logits, THEN the processor
+            # chain, with no renormalization (the engine mirrors this)
+            step_scores = jax.nn.log_softmax(logits[:, -1].astype(jnp.float32), axis=-1)
+            state2, scores = pipeline(state, step_scores)
+            logp = np.asarray(scores)[0]
             for tok in np.argsort(logp)[::-1][: 2 * num_beams]:
                 candidates.append((tokens + [int(tok)], score + float(logp[tok]), state2))
         candidates.sort(key=lambda x: x[1], reverse=True)

@@ -394,3 +394,101 @@ def test_beam_search_token_parity(ref, tmp_path, monkeypatch):
     n = min(len(ref_gen), len(my_gen))
     assert n >= 12
     assert my_gen[:n] == ref_gen[:n], f"ours {my_gen[:n]} != reference {ref_gen[:n]}"
+
+
+def test_beam_cfg_generate_token_parity(ref, tmp_path, monkeypatch):
+    """num_beams=2 + classifier-free guidance combined — the reference sizes
+    the cache batch*beams*2 and lets HF generate run CFG inside beam search
+    (cache_utils.py:23-35); our beam loop folds the dual halves."""
+    import torch
+
+    from osuT5.osuT5.inference import server as ref_server
+    from osuT5.osuT5.utils import model_utils as ref_model_utils
+
+    recipe = "v31"
+    src_len, tgt_len, n_new = 64, 96, 20
+    cfg, ref_cfg = _configs(ref, recipe, src_len, tgt_len, tmp_path, monkeypatch)
+    _patch_hub_lookups(monkeypatch)
+    ref_tok = ref.tokenizer.Tokenizer(ref_cfg)
+    _mel_shim(cfg, monkeypatch)
+
+    torch.manual_seed(0)
+    ref_model = ref_model_utils._get_model(ref_cfg, ref_tok, torch.float32, "sdpa").eval()
+    vocab = build_vocabulary(cfg)
+
+    from mapperatorinator_tpu.decode import DecodeEngine
+    from mapperatorinator_tpu.decode.logits import build_logits_pipeline, get_eos_token_ids
+    from mapperatorinator_tpu.models import Mapperatorinator
+    from mapperatorinator_tpu.models.convert import convert_mapperatorinator_state_dict
+    from mapperatorinator_tpu.models.mapperatorinator import build_config
+
+    my_cfg = build_config(cfg, vocab)
+    model = Mapperatorinator(my_cfg)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = {"params": convert_mapperatorinator_state_dict(sd, my_cfg, family="ropewhisper")}
+
+    rng = np.random.default_rng(41)
+    hop = cfg.model.spectrogram.hop_length
+    frames = (rng.standard_normal((1, hop * (src_len - 1))) * 0.1).astype(np.float32)
+    difficulty = np.asarray([5.5], np.float32)
+    mapper_idx = np.asarray([-1], np.int64)
+    song_position = np.asarray([[0.2, 0.5]], np.float32)
+
+    sos = ref_tok.sos_id
+    pos_prompt = np.asarray([[sos, sos + 1]], np.int64)
+    neg_prompt = np.asarray([[sos, sos + 4]], np.int64)
+    attn = np.ones_like(pos_prompt)
+    cfg_scale = 1.5
+
+    model_kwargs = dict(
+        inputs=torch.tensor(frames),
+        decoder_input_ids=torch.tensor(pos_prompt),
+        decoder_attention_mask=torch.tensor(attn),
+        negative_prompt=torch.tensor(neg_prompt),
+        negative_prompt_attention_mask=torch.tensor(attn),
+        difficulty=torch.tensor(difficulty),
+        mapper_idx=torch.tensor(mapper_idx),
+        song_position=torch.tensor(song_position),
+    )
+    generate_kwargs = dict(
+        do_sample=False, num_beams=2,
+        max_length=pos_prompt.shape[1] + n_new,
+        pad_token_id=ref_tok.pad_id, temperature=1.0, cfg_scale=cfg_scale,
+    )
+    ref_result, _ = ref_server.model_generate(ref_model, ref_tok, model_kwargs, generate_kwargs)
+    ref_tokens = ref_result.numpy()
+
+    engine = DecodeEngine(model, params, max_length=pos_prompt.shape[1] + n_new,
+                          pad_token_id=vocab.pad_id)
+    enc = engine.encode_with_cond(
+        jnp.asarray(frames),
+        cond=dict(
+            difficulty=jnp.asarray(difficulty),
+            mapper_idx=jnp.asarray(mapper_idx, jnp.int32),
+            song_position=jnp.asarray(song_position),
+        ),
+    )
+    enc2 = jnp.concatenate([enc, enc], axis=0)
+    prompts = np.concatenate([neg_prompt, pos_prompt], axis=0).astype(np.int32)
+    pipeline = build_logits_pipeline(vocab, temperature=1.0, do_sample=False)
+    out, _ = engine.generate_beams(
+        enc2, prompts, pipeline, eos_ids=get_eos_token_ids(vocab),
+        num_beams=2, seed=0, cfg_scale=cfg_scale,
+    )
+    assert out.shape[0] == 1  # positive-half best hypothesis only
+
+    def until_eos(seq):
+        ids = []
+        for t in seq:
+            ids.append(int(t))
+            if t == ref_tok.eos_id:
+                break
+        return ids
+
+    ref_gen = until_eos(ref_tokens[0, pos_prompt.shape[1]:])
+    row = np.asarray(out[0]).tolist()
+    start = row.index(sos) + pos_prompt.shape[1]
+    my_gen = until_eos([t for t in row[start:] if t != vocab.pad_id])
+    n = min(len(ref_gen), len(my_gen))
+    assert n >= 10
+    assert my_gen[:n] == ref_gen[:n], f"ours {my_gen[:n]} != reference {ref_gen[:n]}"
