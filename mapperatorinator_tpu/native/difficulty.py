@@ -111,16 +111,18 @@ def beatmap_stars(beatmap, speed: float = 1.0) -> float:
     # travel is resolved here via the follow-circle cursor simulation
     # (lazer OsuDifficultyHitObject.computeSliderCursorPosition); the C++
     # side runs the Aim/Speed/Rhythm evaluators and the star combination.
-    # Known divergence: positions are unstacked (stacking shifts overlapped
-    # notes by ~3px/layer; effect on star rating is small).
+    # Stacking offsets are applied like rosu-pp does internally (the stable
+    # applyStacking pass), shifting whole objects by stack_height*scale*-6.4.
     radius = 32.0 * (1.0 - 0.7 * (beatmap.circle_size - 5.0) / 5.0)
+    stack_offsets = _stack_offsets(objs, beatmap)
     xs, ys, types = [], [], []
     lazy_ex, lazy_ey, travel_d, travel_t, tail_xs, tail_ys = [], [], [], [], [], []
-    for h in objs:
+    for i, h in enumerate(objs):
+        off = stack_offsets[i]
         if isinstance(h, Spinner):
             xs.append(256.0); ys.append(192.0); types.append(2)
         else:
-            xs.append(float(h.x)); ys.append(float(h.y))
+            xs.append(float(h.x) + off); ys.append(float(h.y) + off)
             types.append(1 if isinstance(h, Slider) else 0)
         if isinstance(h, Slider):
             tp_at = beatmap.timing_point_at(h.time)
@@ -128,9 +130,11 @@ def beatmap_stars(beatmap, speed: float = 1.0) -> float:
             lend, ldist, ltime, tail = _slider_lazy_travel(
                 h, radius, beat_length, beatmap.slider_tick_rate or 1.0
             )
-            lazy_ex.append(lend[0]); lazy_ey.append(lend[1])
+            # the stack offset shifts the whole slider; travel distances are
+            # offset-invariant, endpoint positions are not
+            lazy_ex.append(lend[0] + off); lazy_ey.append(lend[1] + off)
             travel_d.append(ldist); travel_t.append(ltime)
-            tail_xs.append(tail[0]); tail_ys.append(tail[1])
+            tail_xs.append(tail[0] + off); tail_ys.append(tail[1] + off)
         else:
             lazy_ex.append(xs[-1]); lazy_ey.append(ys[-1])
             travel_d.append(0.0); travel_t.append(0.0)
@@ -217,6 +221,75 @@ def _slider_lazy_travel(slider, radius: float, beat_length: float, tick_rate: fl
     lazy_travel_dist *= (1 + repeat_count / 2.5) ** (1.0 / 2.5)
     return (float(lazy_end[0]), float(lazy_end[1])), lazy_travel_dist, lazy_travel_time, (
         float(tail[0]), float(tail[1]))
+
+
+def _stack_offsets(objs, beatmap) -> list:
+    """osu!stable applyStacking: chains of overlapped circles/slider heads
+    within the AR-preempt*leniency time window stack with 3 px tolerance;
+    each layer shifts the object by stack_height * scale * -6.4 px on both
+    axes (rosu-pp applies the same pass before difficulty calculation)."""
+    from ..osu.beatmap import Slider, Spinner
+
+    n = len(objs)
+    heights = [0] * n
+    ar = beatmap.approach_rate
+    preempt = 1200.0 + (600.0 * (5.0 - ar) / 5.0 if ar < 5 else -750.0 * (ar - 5.0) / 5.0)
+    stack_threshold = preempt * (beatmap.stack_leniency or 0.7)
+    STACK_DISTANCE = 3.0
+
+    def pos(h):
+        return (float(h.x), float(h.y))
+
+    def end_pos(h):
+        if isinstance(h, Slider):
+            p = h.position_at_progress(1.0 if h.repeat % 2 == 1 else 0.0)
+            return (float(p[0]), float(p[1]))
+        return pos(h)
+
+    def end_time(h):
+        return float(getattr(h, "end_time", h.time))
+
+    def close(a, b):
+        return ((a[0] - b[0]) ** 2 + (a[1] - b[1]) ** 2) ** 0.5 < STACK_DISTANCE
+
+    for i in range(n - 1, 0, -1):
+        cur = i
+        obj_i = objs[cur]
+        if heights[cur] != 0 or isinstance(obj_i, Spinner):
+            continue
+        if isinstance(obj_i, Slider):
+            m = cur
+            while m > 0:
+                m -= 1
+                obj_m = objs[m]
+                if isinstance(obj_m, Spinner):
+                    continue
+                if objs[cur].time - obj_m.time > stack_threshold:
+                    break
+                if close(end_pos(obj_m), pos(objs[cur])):
+                    heights[m] = heights[cur] + 1
+                    cur = m
+        else:
+            m = cur
+            while m > 0:
+                m -= 1
+                obj_m = objs[m]
+                if isinstance(obj_m, Spinner):
+                    continue
+                if objs[cur].time - end_time(obj_m) > stack_threshold:
+                    break
+                if isinstance(obj_m, Slider) and close(end_pos(obj_m), pos(objs[cur])):
+                    offset = heights[cur] - heights[m] + 1
+                    for j in range(m + 1, i + 1):
+                        if close(end_pos(obj_m), pos(objs[j])):
+                            heights[j] -= offset
+                    break
+                if close(pos(obj_m), pos(objs[cur])):
+                    heights[m] = heights[cur] + 1
+                    cur = m
+
+    scale = (1.0 - 0.7 * (beatmap.circle_size - 5.0) / 5.0) / 2.0
+    return [h_count * scale * -6.4 for h_count in heights]
 
 
 def calculate_difficulty(content: Optional[str] = None, path=None, speed: float = 1.0) -> Optional[float]:

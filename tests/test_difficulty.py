@@ -142,3 +142,38 @@ SliderTickRate:1
 
 def test_modern_std_deterministic():
     assert calculate_difficulty(path=FIXTURE) == calculate_difficulty(path=FIXTURE)
+
+
+def test_stacking_offsets():
+    """osu!stable applyStacking: a chain of perfectly-overlapped circles
+    stacks upward-left in -6.4*scale steps; far objects don't stack."""
+    from mapperatorinator_tpu.native.difficulty import _stack_offsets
+    from mapperatorinator_tpu.osu.beatmap import Beatmap
+
+    osu = """osu file format v14
+
+[General]
+Mode: 0
+
+[Difficulty]
+CircleSize:4
+ApproachRate:9
+OverallDifficulty:8
+SliderMultiplier:1.4
+SliderTickRate:1
+
+[TimingPoints]
+0,400,4,2,0,70,1,0
+
+[HitObjects]
+256,192,0,1,0,0:0:0:0:
+256,192,200,1,0,0:0:0:0:
+256,192,400,1,0,0:0:0:0:
+100,100,5000,1,0,0:0:0:0:
+"""
+    bm = Beatmap.from_string(osu)
+    offs = _stack_offsets(bm.hit_objects(), bm)
+    scale = (1.0 - 0.7 * (4 - 5.0) / 5.0) / 2.0
+    assert offs[2] == 0.0 and offs[3] == 0.0  # chain tail + far object stay put
+    assert offs[1] == pytest.approx(-6.4 * scale)
+    assert offs[0] == pytest.approx(-12.8 * scale)
