@@ -212,6 +212,10 @@ def main() -> None:
     engine = build_engine(vocab, src_len=src_len, tgt_len=tgt_len, **dims)
     tok_s_b1 = decode_tok_s(engine, vocab, batch=1, src_len=src_len, gen_tokens=gen_tokens)
     tok_s_b8 = decode_tok_s(engine, vocab, batch=8, src_len=src_len, gen_tokens=gen_tokens)
+    # full decode window (parallel-mode production shape; exercises the
+    # bucketed live-prefix cache attention)
+    full_gen = tgt_len - 160
+    tok_s_b8_full = decode_tok_s(engine, vocab, batch=8, src_len=src_len, gen_tokens=full_gen)
     del engine
 
     e2e = e2e_3min_seconds(on_tpu)
@@ -227,6 +231,7 @@ def main() -> None:
                     "e2e_3min_seconds": round(e2e, 2),
                     "decode_tok_s_batch1": round(tok_s_b1, 1),
                     "decode_tok_s_batch8": round(tok_s_b8, 1),
+                    "decode_tok_s_batch8_full_window": round(tok_s_b8_full, 1),
                 },
             }
         )

@@ -20,6 +20,7 @@ import uuid
 import warnings
 from functools import reduce
 from pathlib import Path
+from typing import Optional
 
 warnings.filterwarnings("ignore")
 
@@ -389,7 +390,7 @@ def generate(
     return result_str, result_path
 
 
-def load_model(args):
+def load_model(args, auto_select_gamemode_model: Optional[bool] = None):
     """Load (engine, vocab) from args.model_path (native or HF-format dir),
     preferring a gamemode=N fine-tune subfolder and merging a compatible LoRA
     adapter (reference: model_utils.py:269-301, 399-406)."""
@@ -399,11 +400,16 @@ def load_model(args):
         get_model_checkpoint_subfolder,
         load_lora,
         merge_lora,
-        resolve_compatible_lora_path,
         resolve_model_checkpoint_path,
+        resolve_compatible_lora_path,
     )
 
-    ckpt_path = resolve_model_checkpoint_path(args.model_path, gamemode=args.gamemode)
+    if auto_select_gamemode_model is None:
+        auto_select_gamemode_model = getattr(args, "auto_select_gamemode_model", True)
+    ckpt_path = resolve_model_checkpoint_path(
+        args.model_path, gamemode=args.gamemode,
+        auto_select_gamemode_model=auto_select_gamemode_model,
+    )
     if str(ckpt_path) != str(args.model_path):
         print(f"Using gamemode-specific model checkpoint: {ckpt_path}")
     model, params, vocab = load_checkpoint(ckpt_path)
@@ -474,12 +480,39 @@ def main(argv=None) -> None:
     return run(args)
 
 
+def should_load_separate_timing_model(args, output_type=None) -> bool:
+    """True when a gamemode fine-tune was auto-selected but timing must be
+    generated: timing then comes from the base (all-gamemode) checkpoint
+    (reference: inference.py:388-408)."""
+    from mapperatorinator_tpu.models.lora import resolve_model_checkpoint_path
+
+    output_type = args.output_type if output_type is None else output_type
+    needs_generated_timing = (
+        args.super_timing and (len(args.in_context) == 0 or ContextType.NONE in args.in_context)
+    ) or should_generate_timing_context(args, output_type)
+    if not needs_generated_timing:
+        return False
+    current = resolve_model_checkpoint_path(
+        args.model_path, gamemode=args.gamemode,
+        auto_select_gamemode_model=getattr(args, "auto_select_gamemode_model", True),
+    )
+    base = resolve_model_checkpoint_path(
+        args.model_path, gamemode=args.gamemode, auto_select_gamemode_model=False
+    )
+    return str(current) != str(base)
+
+
 def run(args):
     """Everything after config composition: load models, compile args, and
     generate. Programmatic entry used by web_ui / calc_fid / colab (the
     reference reuses ``generate(...)`` the same way, inference.py:411)."""
     engine, vocab = load_model(args)
     compile_args(args, vocab)
+
+    timing_engine, timing_vocab = None, None
+    if should_load_separate_timing_model(args):
+        print("Using base model for timing generation.")
+        timing_engine, timing_vocab = load_model(args, auto_select_gamemode_model=False)
 
     client = None
     if args.use_server:
@@ -518,6 +551,8 @@ def run(args):
         engine=engine,
         vocab=vocab,
         client=client,
+        timing_engine=timing_engine,
+        timing_vocab=timing_vocab,
         diff_model=diff_model,
         refine_model=refine_model,
     )

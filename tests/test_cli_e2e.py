@@ -61,3 +61,39 @@ def test_inference_cli_end_to_end(tmp_path):
     assert len(bm.timing_points) >= 1
     # random-weight models still emit a valid (possibly sparse) object list
     assert bm.hit_objects is not None
+
+
+def test_should_load_separate_timing_model(tmp_path):
+    """Gamemode fine-tune subfolders force timing onto the base checkpoint
+    (reference: inference.py:388-408)."""
+    from mapperatorinator_tpu.config import compose, schema
+
+    import inference
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "gamemode=1").mkdir(parents=True)
+
+    args = compose(REPO_ROOT / "configs" / "inference", "v32",
+                   schema_cls=schema.InferenceConfig)
+    args.model_path = str(ckpt)
+
+    args.gamemode = 1
+    assert inference.should_load_separate_timing_model(args)
+
+    # no matching subfolder -> same checkpoint either way
+    args.gamemode = 0
+    assert not inference.should_load_separate_timing_model(args)
+
+    # auto-select disabled -> base model already used
+    args.gamemode = 1
+    args.auto_select_gamemode_model = False
+    assert not inference.should_load_separate_timing_model(args)
+
+    # timing not generated (provided via in_context) -> no second model
+    from mapperatorinator_tpu.osu import ContextType
+
+    args.auto_select_gamemode_model = True
+    args.super_timing = False
+    args.in_context = [ContextType.TIMING]
+    args.output_type = [ContextType.MAP]
+    assert not inference.should_load_separate_timing_model(args)
