@@ -310,6 +310,80 @@ def convert_nwhisper_state_dict(sd: dict, encoder_layers: int, decoder_layers: i
 
 
 # ---------------------------------------------------------------------------
+# Moonshine (HF MoonshineForConditionalGeneration; the reference's own
+# moonshine branch is unimportable — modeling_mapperatorinator.py:40-44)
+# ---------------------------------------------------------------------------
+
+
+def _moon_attn(sd: dict, prefix: str, cross: bool) -> dict:
+    q = _t(sd[f"{prefix}.q_proj.weight"])
+    k = _t(sd[f"{prefix}.k_proj.weight"])
+    v = _t(sd[f"{prefix}.v_proj.weight"])
+    out = {"wo": {"kernel": _t(sd[f"{prefix}.o_proj.weight"])}}
+    if cross:
+        out["wq"] = {"kernel": q}
+        out["wkv"] = {"kernel": np.concatenate([k, v], axis=1)}
+    else:
+        out["wqkv"] = {"kernel": np.concatenate([q, k, v], axis=1)}
+    return out
+
+
+def _moon_norm(sd: dict, key: str) -> dict:
+    # bias-free LayerNorm
+    return {"LayerNorm_0": {"scale": np.asarray(sd[f"{key}.weight"])}}
+
+
+def _moon_ffn(sd: dict, prefix: str) -> dict:
+    return {
+        "fc1": {"kernel": _t(sd[f"{prefix}.fc1.weight"]), "bias": np.asarray(sd[f"{prefix}.fc1.bias"])},
+        "fc2": {"kernel": _t(sd[f"{prefix}.fc2.weight"]), "bias": np.asarray(sd[f"{prefix}.fc2.bias"])},
+    }
+
+
+def convert_moonshine_state_dict(sd: dict, encoder_layers: int, decoder_layers: int, tied_head: bool) -> dict:
+    """HF Moonshine state dict -> OsuTransformer params (raw-wave conv stem,
+    bias-free norms, gated-concat decoder MLP)."""
+    sd = {key.removeprefix("model."): v for key, v in sd.items()}
+
+    encoder = {
+        "conv1": {"kernel": _conv(sd["encoder.conv1.weight"])},
+        "groupnorm": {"scale": np.asarray(sd["encoder.groupnorm.weight"]),
+                      "bias": np.asarray(sd["encoder.groupnorm.bias"])},
+        "conv2": {"kernel": _conv(sd["encoder.conv2.weight"]), "bias": np.asarray(sd["encoder.conv2.bias"])},
+        "conv3": {"kernel": _conv(sd["encoder.conv3.weight"]), "bias": np.asarray(sd["encoder.conv3.bias"])},
+        "norm": _moon_norm(sd, "encoder.layer_norm"),
+    }
+    for i in range(encoder_layers):
+        p = f"encoder.layers.{i}"
+        encoder[f"layers_{i}"] = {
+            "self_attn": _moon_attn(sd, f"{p}.self_attn", cross=False),
+            "self_attn_norm": _moon_norm(sd, f"{p}.input_layernorm"),
+            "final_norm": _moon_norm(sd, f"{p}.post_attention_layernorm"),
+            "ffn": _moon_ffn(sd, f"{p}.mlp"),
+        }
+
+    decoder = {
+        "embed_tokens": {"embedding": np.asarray(sd["decoder.embed_tokens.weight"])},
+        "norm": _moon_norm(sd, "decoder.norm"),
+    }
+    for i in range(decoder_layers):
+        p = f"decoder.layers.{i}"
+        decoder[f"layers_{i}"] = {
+            "self_attn": _moon_attn(sd, f"{p}.self_attn", cross=False),
+            "self_attn_norm": _moon_norm(sd, f"{p}.input_layernorm"),
+            "cross_attn": _moon_attn(sd, f"{p}.encoder_attn", cross=True),
+            "cross_attn_norm": _moon_norm(sd, f"{p}.post_attention_layernorm"),
+            "final_norm": _moon_norm(sd, f"{p}.final_layernorm"),
+            "ffn": _moon_ffn(sd, f"{p}.mlp"),
+        }
+
+    params = {"encoder": encoder, "decoder": decoder}
+    if not tied_head and "proj_out.weight" in sd:
+        params["proj_out"] = {"kernel": _t(sd["proj_out.weight"])}
+    return params
+
+
+# ---------------------------------------------------------------------------
 # T5 (stock HF T5ForConditionalGeneration and nanoT5; reference t5.py)
 # ---------------------------------------------------------------------------
 
@@ -398,6 +472,7 @@ _BACKBONE_CONVERTERS = {
     "ropewhisper": convert_ropewhisper_state_dict,
     "nwhisper": convert_nwhisper_state_dict,
     "t5": convert_t5_state_dict,
+    "moonshine": convert_moonshine_state_dict,
 }
 
 
@@ -411,6 +486,8 @@ def backbone_family(backbone_model_name: str) -> str:
         return "ropewhisper"
     if "nwhisper" in name:
         return "nwhisper"
+    if "moonshine" in name:
+        return "moonshine"
     if name.startswith("google/t5") or "t5" in name:
         return "t5"
     if "whisper" in name:

@@ -42,10 +42,17 @@ T5_DIMS = {
     "base": dict(d_model=768, layers=12, heads=12, ffn=2048, head_dim=64),
 }
 
+# HF UsefulSensors/moonshine-* (MoonshineConfig defaults)
+MOONSHINE_DIMS = {
+    "tiny": dict(d_model=288, layers=6, heads=8, ffn=1152),
+    "base": dict(d_model=416, layers=8, heads=8, ffn=1664),
+}
+
 
 @dataclasses.dataclass(frozen=True)
 class MapperatorinatorConfig:
     backbone: TransformerConfig = TransformerConfig()
+    input_raw_wave: bool = False  # moonshine: raw samples into the backbone
     vocab_size_in: int = 9920
     vocab_size_out: int = 3988
     num_classes: int = 0
@@ -115,6 +122,11 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
     norm_eps = None
     activation = "gelu"
     mlp_bias = True
+    decoder_activation = None
+    decoder_ffn_gated_concat = False
+    norm_bias = True
+    stem_type = "whisper"
+    rope_partial_factor = 1.0
     if name.startswith("OliBomby/nwhisper") or name.startswith("olibomby/nwhisper"):
         dims = _whisper_size(name)
         position_scheme, norm = "whisper_abs", "layer"
@@ -140,12 +152,21 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
         # (reference modeling_ropewhisper.py:768,774,847-859,1150,1316)
         position_scheme, norm = "rope", "rms"
     elif name.startswith("UsefulSensors/moonshine"):
-        # the reference's moonshine branch is unimportable in its own repo
-        # (custom_transformers exports no MoonshineConfig;
-        # modeling_mapperatorinator.py:40-44 raises ImportError when selected)
-        raise NotImplementedError(
-            "moonshine backbone is non-functional in the reference; pick a whisper/t5 family"
-        )
+        # the reference's own moonshine branch is unimportable in its repo
+        # (modeling_mapperatorinator.py:40-44 raises ImportError when
+        # selected); this implements the HF MoonshineForConditionalGeneration
+        # architecture so the config preset actually runs here: raw-wave conv
+        # stem, partial interleaved rotary, bias-free LayerNorms, silu
+        # gated-concat decoder MLP
+        size = name.rsplit("-", 1)[-1]
+        dims = MOONSHINE_DIMS.get(size, MOONSHINE_DIMS["tiny"])
+        position_scheme, norm = "rope", "layer"
+        attention_bias = False
+        norm_bias = False
+        stem_type = "moonshine"
+        rope_partial_factor = 0.9
+        decoder_activation = "silu"
+        decoder_ffn_gated_concat = True
     elif "whisper" in name:
         dims = _whisper_size(name)
         position_scheme, norm = "whisper_abs", "layer"
@@ -183,6 +204,11 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
         attention_scale=attention_scale,
         mlp_bias=mlp_bias,
         ffn_gated=ffn_gated,
+        decoder_activation=decoder_activation,
+        decoder_ffn_gated_concat=decoder_ffn_gated_concat,
+        norm_bias=norm_bias,
+        stem_type=stem_type,
+        rope_partial_factor=rope_partial_factor,
         input_vocab_size=input_vocab_size,
         head_dim_override=head_dim_override,
         conv_stem=conv_stem,
@@ -199,6 +225,7 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
         num_classes=vocab.num_classes,
         num_mappers=vocab.num_mapper_classes,
         input_features=m.input_features,
+        input_raw_wave=getattr(m, "input_raw_wave", False),
         project_encoder_input=m.project_encoder_input,
         embed_decoder_input=m.embed_decoder_input,
         do_style_embed=m.do_style_embed,
@@ -334,6 +361,10 @@ class Mapperatorinator(nn.Module):
     ) -> jnp.ndarray:
         """Raw audio samples (B, n_samples) -> encoder hidden states."""
         cfg = self.config
+        if cfg.input_raw_wave:
+            # moonshine: the backbone's conv stem consumes raw samples
+            # (reference modeling_mapperatorinator.py:175-210 input_values)
+            return self.transformer.encode(frames[..., None], deterministic=deterministic)
         mel = self.spectrogram(frames)  # (B, T, n_mels), fp32
         mel = mel.astype(cfg.backbone.dtype)
         conds = []

@@ -99,7 +99,20 @@ class TransformerConfig:
     attention_scale: bool = True  # T5 omits the 1/sqrt(d) scale
     mlp_bias: bool = True  # T5 feed-forward projections carry no biases
     ffn_gated: bool = False  # T5 v1.1 gated activation: act(wi_0) * wi_1
+    # moonshine decoder MLP: one fc1 of width 2*ffn, split into
+    # (hidden, gate), out = act(gate) * hidden (HF MoonshineDecoderMLP)
+    decoder_ffn_gated_concat: bool = False
+    decoder_activation: Optional[str] = None  # None -> activation
+    norm_bias: bool = True  # moonshine LayerNorms carry no bias
     conv_stem: bool = True  # whisper conv1(k3s1) + conv2(k3s2) front
+    # "whisper": mel conv pair; "moonshine": raw-wave conv1(k127 s64 no-bias,
+    # tanh) + groupnorm + conv2(k7 s3) + conv3(k3 s2) gelus (HF
+    # MoonshineEncoder)
+    stem_type: str = "whisper"
+    # moonshine partial interleaved rotary: rotate only the first
+    # int(head_dim*factor) dims with repeat-interleaved cos/sin
+    # (HF modeling_moonshine.apply_rotary_pos_emb); 1.0 = llama rotate-half
+    rope_partial_factor: float = 1.0
     scale_embedding: bool = False
     tie_word_embeddings: bool = False
     pad_token_id: int = 0
@@ -135,7 +148,9 @@ class Norm(nn.Module):
             eps = cfg.norm_eps if cfg.norm_eps is not None else 1.1920929e-7
             return nn.RMSNorm(epsilon=eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
         eps = cfg.norm_eps if cfg.norm_eps is not None else 1e-5
-        return nn.LayerNorm(epsilon=eps, dtype=cfg.dtype, param_dtype=cfg.param_dtype)(x)
+        return nn.LayerNorm(
+            epsilon=eps, use_bias=cfg.norm_bias, dtype=cfg.dtype, param_dtype=cfg.param_dtype
+        )(x)
 
 
 def rope_frequencies(head_dim: int, theta: float) -> jnp.ndarray:
@@ -151,6 +166,25 @@ def apply_rope(x: jnp.ndarray, positions: jnp.ndarray, theta: float) -> jnp.ndar
     sin = jnp.sin(angles)[:, :, None, :]
     x1, x2 = jnp.split(x.astype(jnp.float32), 2, axis=-1)
     out = jnp.concatenate([x1 * cos - x2 * sin, x2 * cos + x1 * sin], axis=-1)
+    return out.astype(x.dtype)
+
+
+def apply_rope_interleaved_partial(
+    x: jnp.ndarray, positions: jnp.ndarray, theta: float, rotary_dim: int
+) -> jnp.ndarray:
+    """Moonshine rotary: only the first ``rotary_dim`` head dims rotate, with
+    repeat-interleaved cos/sin over rotate-half pairs
+    (HF modeling_moonshine.apply_rotary_pos_emb)."""
+    inv_freq = 1.0 / (theta ** (jnp.arange(0, rotary_dim, 2, dtype=jnp.float32) / rotary_dim))
+    angles = positions[..., None].astype(jnp.float32) * inv_freq  # (B, T, rd/2)
+    cos = jnp.repeat(jnp.cos(angles), 2, axis=-1)[:, :, None, :]  # (B, T, 1, rd)
+    sin = jnp.repeat(jnp.sin(angles), 2, axis=-1)[:, :, None, :]
+    xf = x.astype(jnp.float32)
+    x_rot, x_pass = xf[..., :rotary_dim], xf[..., rotary_dim:]
+    # rotate-every-two (GPT-J style): pairs (x0, x1) -> (-x1, x0)
+    x_even, x_odd = x_rot[..., 0::2], x_rot[..., 1::2]
+    rot = jnp.stack([-x_odd, x_even], axis=-1).reshape(x_rot.shape)
+    out = jnp.concatenate([x_rot * cos + rot * sin, x_pass], axis=-1)
     return out.astype(x.dtype)
 
 
@@ -450,8 +484,13 @@ class Attention(nn.Module):
                     factor = (cfg.rope_decoder_scaling_factor if self.is_decoder
                               else cfg.rope_encoder_scaling_factor)
                     theta = dynamic_ntk_theta(theta, cfg.head_dim, seq_len, max_pos, factor)
-                q = apply_rope(q, positions, theta)
-                k = apply_rope(k, positions, theta)
+                if cfg.rope_partial_factor < 1.0:
+                    rotary_dim = int(cfg.head_dim * cfg.rope_partial_factor)
+                    q = apply_rope_interleaved_partial(q, positions, theta, rotary_dim)
+                    k = apply_rope_interleaved_partial(k, positions, theta, rotary_dim)
+                else:
+                    q = apply_rope(q, positions, theta)
+                    k = apply_rope(k, positions, theta)
 
             if cache is not None:
                 # single-step (or chunked) decode: write k/v at cache_index
@@ -576,18 +615,31 @@ class Attention(nn.Module):
 class FeedForward(nn.Module):
     config: TransformerConfig
     ffn_dim: int
+    is_decoder: bool = False
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         cfg = self.config
         # torch ACT2FN["gelu"] is the exact erf form; "gelu_tanh" is torch's
         # gelu_new / gelu_pytorch_tanh (T5 v1.1 gated-gelu)
+        act_name = cfg.activation
+        if self.is_decoder and cfg.decoder_activation is not None:
+            act_name = cfg.decoder_activation
         act = {
             "gelu": lambda v: nn.gelu(v, approximate=False),
             "gelu_tanh": nn.gelu,
             "relu": nn.relu,
             "silu": nn.silu,
-        }[cfg.activation]
+        }[act_name]
+        if self.is_decoder and cfg.decoder_ffn_gated_concat:
+            # HF MoonshineDecoderMLP: fc1 -> (hidden, gate), act(gate)*hidden
+            h = nn.Dense(2 * self.ffn_dim, use_bias=cfg.mlp_bias, dtype=cfg.dtype,
+                         param_dtype=cfg.param_dtype, name="fc1")(x)
+            hidden, gate = jnp.split(h, 2, axis=-1)
+            h = act(gate) * hidden
+            h = nn.Dropout(cfg.dropout)(h, deterministic=deterministic)
+            return nn.Dense(cfg.d_model, use_bias=cfg.mlp_bias, dtype=cfg.dtype,
+                            param_dtype=cfg.param_dtype, name="fc2")(h)
         if cfg.norm_scheme == "ngpt":
             h = NormDense(self.ffn_dim, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="fc1")(x)
             h = act(h)
@@ -643,7 +695,7 @@ class DecoderLayer(nn.Module):
             cfg, cfg.decoder_heads, is_causal=True, is_decoder=True, layer_idx=self.layer_idx, name="self_attn"
         )
         self.cross_attn = Attention(cfg, cfg.decoder_heads, is_cross=True, name="cross_attn")
-        self.ffn = FeedForward(cfg, cfg.decoder_ffn, name="ffn")
+        self.ffn = FeedForward(cfg, cfg.decoder_ffn, is_decoder=True, name="ffn")
         if cfg.norm_scheme == "ngpt":
             self.attn_residual = HyperResidual(cfg.d_model, cfg.ngpt_alpha_init, param_dtype=cfg.param_dtype, name="attn_residual")
             self.cross_residual = HyperResidual(cfg.d_model, cfg.ngpt_alpha_init, param_dtype=cfg.param_dtype, name="cross_residual")
@@ -711,7 +763,20 @@ class Encoder(nn.Module):
         """features: (B, T, num_mel_bins) -> (B, T(/2 with conv stem), D)."""
         cfg = self.config
         x = features.astype(cfg.dtype)
-        if cfg.conv_stem:
+        if cfg.conv_stem and cfg.stem_type == "moonshine":
+            # raw-wave stem (HF MoonshineEncoder): (B, samples, 1) in
+            x = nn.Conv(cfg.d_model, (127,), strides=(64,), padding="VALID", use_bias=False,
+                        dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="conv1")(x)
+            x = jnp.tanh(x)
+            x = nn.GroupNorm(num_groups=1, epsilon=1e-5, dtype=cfg.dtype,
+                             param_dtype=cfg.param_dtype, name="groupnorm")(x)
+            x = nn.Conv(2 * cfg.d_model, (7,), strides=(3,), padding="VALID",
+                        dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="conv2")(x)
+            x = nn.gelu(x, approximate=False)
+            x = nn.Conv(cfg.d_model, (3,), strides=(2,), padding="VALID",
+                        dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="conv3")(x)
+            x = nn.gelu(x, approximate=False)
+        elif cfg.conv_stem:
             x = nn.Conv(cfg.d_model, (3,), padding=1, dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="conv1")(x)
             x = nn.gelu(x, approximate=False)
             x = nn.Conv(

@@ -520,3 +520,84 @@ def test_full_wrapper_conversion_with_embedders():
     j_enc = np.asarray(jax_encode(params))
     assert j_enc.shape == t_enc.shape
     np.testing.assert_allclose(j_enc, t_enc, rtol=1e-3, atol=1e-3)
+
+
+def test_moonshine_conversion_parity():
+    """HF Moonshine (raw-wave conv stem, partial interleaved rotary,
+    bias-free LayerNorms, silu gated-concat decoder MLP). The reference's own
+    moonshine branch is unimportable (modeling_mapperatorinator.py:40-44);
+    the oracle here is stock transformers."""
+    import torch
+    from transformers import MoonshineConfig, MoonshineForConditionalGeneration
+
+    from mapperatorinator_tpu.models.convert import convert_moonshine_state_dict
+
+    cfg = MoonshineConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        encoder_num_hidden_layers=2, decoder_num_hidden_layers=2,
+        encoder_num_attention_heads=2, decoder_num_attention_heads=2,
+        encoder_num_key_value_heads=2, decoder_num_key_value_heads=2,
+        max_position_embeddings=64, use_cache=False,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=1,
+        partial_rotary_factor=0.9,
+    )
+    cfg._attn_implementation = "eager"
+    torch.manual_seed(0)
+    tmodel = MoonshineForConditionalGeneration(cfg).eval()
+
+    ours = OsuTransformer(TransformerConfig(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_heads=2, decoder_heads=2, encoder_ffn=64, decoder_ffn=64,
+        max_source_positions=64, max_target_positions=64, num_mel_bins=1,
+        position_scheme="rope", norm="layer", norm_bias=False,
+        attention_bias=False, mlp_bias=True,
+        decoder_activation="silu", decoder_ffn_gated_concat=True,
+        conv_stem=True, stem_type="moonshine", rope_partial_factor=0.9,
+        tie_word_embeddings=True,
+    ))
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = {"params": convert_moonshine_state_dict(sd, 2, 2, tied_head=True)}
+
+    rng = np.random.default_rng(7)
+    # raw waveform long enough for the k127/s64 stem: ~3k samples -> ~7 frames
+    wave = (rng.standard_normal((2, 3072)) * 0.1).astype(np.float32)
+    ids = rng.integers(3, 64, (2, 6)).astype(np.int64)
+    T = ids.shape[1]
+
+    import torch as _torch
+
+    with _torch.no_grad():
+        enc_out = tmodel.model.encoder(_torch.tensor(wave))
+    t_enc = enc_out.last_hidden_state.numpy()
+    j_enc = ours.apply(params, jnp.asarray(wave)[..., None], method=OsuTransformer.encode)
+    np.testing.assert_allclose(np.asarray(j_enc), t_enc, rtol=3e-4, atol=3e-4)
+
+    from transformers import DynamicCache, EncoderDecoderCache
+
+    from transformers.modeling_outputs import BaseModelOutput
+
+    t_logits = []
+    past = EncoderDecoderCache(DynamicCache(), DynamicCache())
+    with _torch.no_grad():
+        for t in range(T):
+            out = tmodel(
+                encoder_outputs=BaseModelOutput(last_hidden_state=enc_out.last_hidden_state),
+                decoder_input_ids=_torch.tensor(ids[:, t : t + 1]),
+                past_key_values=past,
+                use_cache=True,
+            )
+            past = out.past_key_values
+            t_logits.append(out.logits[:, 0].numpy())
+    t_out = np.stack(t_logits, axis=1)
+
+    cache = ours.apply(params, 2, 16, j_enc, method=OsuTransformer.init_cache)
+    j_logits = []
+    for t in range(T):
+        emb = ours.apply(params, jnp.asarray(ids[:, t : t + 1].astype(np.int32)),
+                         method=OsuTransformer.embed_decoder_ids)
+        logits, cache = ours.apply(params, emb, cache, t, method=OsuTransformer.decode_step)
+        j_logits.append(np.asarray(logits[:, 0]))
+    j_out = np.stack(j_logits, axis=1)
+
+    assert j_out.shape == t_out.shape
+    np.testing.assert_allclose(j_out, t_out, rtol=3e-4, atol=3e-4)

@@ -426,3 +426,48 @@ def test_quantized_weights_close_to_fp():
         method=lambda m, e, c, i: m.decode_step(e, c, i, positions=jnp.zeros((1, 1), jnp.int32)),
     )
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_moonshine_backbone_from_preset():
+    """configs/model/moonshine_tiny.yaml builds and runs: raw-wave stem,
+    partial interleaved rotary, gated-concat silu decoder MLP. (The
+    reference's own moonshine branch is unimportable; ours is functional and
+    conversion-parity-tested against stock HF Moonshine.)"""
+    import dataclasses
+    import warnings
+
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.models.mapperatorinator import build_config
+    from mapperatorinator_tpu.osu import build_vocabulary
+
+    args = compose("/root/repo/configs/train", "default", schema_cls=schema.TrainConfig)
+    model_args = compose("/root/repo/configs/model", "moonshine_tiny", schema_cls=schema.ModelConfig)
+    for f in dataclasses.fields(args.model):
+        if hasattr(model_args, f.name):
+            setattr(args.model, f.name, getattr(model_args, f.name))
+    args.data.dataset_type = "none"
+    args.data.mappers_path = ""
+    args.data.tags_metadata_path = ""
+    args.data.src_seq_len = 96
+    args.data.tgt_seq_len = 64
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vocab = build_vocabulary(args)
+    cfg = build_config(args, vocab)
+    assert cfg.input_raw_wave
+    assert cfg.backbone.stem_type == "moonshine"
+    assert cfg.backbone.rope_partial_factor == 0.9
+    assert cfg.backbone.decoder_ffn_gated_concat
+
+    bb = dataclasses.replace(
+        cfg.backbone, d_model=32, encoder_layers=1, decoder_layers=1,
+        encoder_heads=2, decoder_heads=2, encoder_ffn=64, decoder_ffn=64,
+    )
+    cfg = dataclasses.replace(cfg, backbone=bb)
+    model = Mapperatorinator(cfg)
+    samples = jnp.zeros((1, 4096), jnp.float32)
+    ids = jnp.ones((1, 8), jnp.int32)
+    params = model.init(jax.random.PRNGKey(0), frames=samples, decoder_input_ids=ids)
+    logits, _ = model.apply(params, frames=samples, decoder_input_ids=ids)
+    assert logits.shape == (1, 8, vocab.vocab_size_out)
+    assert bool(jnp.isfinite(logits).all())
