@@ -589,6 +589,33 @@ def _backbone_config_from_hf(hf_cfg: dict):
             tie_word_embeddings=bc.get("tie_word_embeddings", False),
         )
 
+    if family == "moonshine":
+        return family, TransformerConfig(
+            vocab_size=hf_cfg.get("vocab_size", bc.get("vocab_size")),
+            d_model=bc.get("hidden_size", 288),
+            encoder_layers=bc.get("encoder_num_hidden_layers", 6),
+            decoder_layers=bc.get("decoder_num_hidden_layers", 6),
+            encoder_heads=bc.get("encoder_num_attention_heads", 8),
+            decoder_heads=bc.get("decoder_num_attention_heads", 8),
+            encoder_ffn=bc.get("intermediate_size", 1152),
+            decoder_ffn=bc.get("intermediate_size", 1152),
+            max_source_positions=hf_cfg.get("max_source_positions", 1024),
+            max_target_positions=bc.get("max_position_embeddings", 2048),
+            num_mel_bins=1,
+            position_scheme="rope",
+            rope_global_theta=bc.get("rope_theta", 10000.0),
+            rope_local_theta=bc.get("rope_theta", 10000.0),
+            rope_partial_factor=bc.get("partial_rotary_factor", 0.9),
+            norm="layer",
+            norm_bias=False,
+            attention_bias=bc.get("attention_bias", False),
+            decoder_activation=bc.get("decoder_hidden_act", "silu"),
+            decoder_ffn_gated_concat=True,
+            conv_stem=True,
+            stem_type="moonshine",
+            tie_word_embeddings=bc.get("tie_word_embeddings", True),
+        )
+
     common = dict(
         vocab_size=hf_cfg.get("vocab_size", bc.get("vocab_size")),
         d_model=bc.get("d_model", 768),
@@ -658,6 +685,7 @@ def load_hf_checkpoint(directory, vocab: Optional[object] = None):
         num_classes=hf_cfg.get("num_classes", 0),
         num_mappers=hf_cfg.get("num_mappers", 3731),
         input_features=hf_cfg.get("input_features", True),
+        input_raw_wave=hf_cfg.get("input_raw_wave", False),
         project_encoder_input=hf_cfg.get("project_encoder_input", False),
         embed_decoder_input=hf_cfg.get("embed_decoder_input", True),
         do_style_embed=hf_cfg.get("do_style_embed", False),
