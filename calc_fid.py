@@ -127,7 +127,7 @@ def generate_beatmaps(beatmap_paths, args, engine, vocab, logger=None) -> dict:
         audio_candidates = list(path.parents[1].glob("audio.*"))  # ORS layout
         if audio_candidates:
             i_args.audio_path = str(audio_candidates[0])
-        i_args.output_path = str(Path(args.dataset_path) / "generated" / path.stem)
+        i_args.output_path = str(_generated_dir(path, args))
         i_args.train = args.inference.train
         compile_args(i_args, vocab, verbose=False)
         generation_config, beatmap_config = get_config(i_args)
@@ -463,13 +463,20 @@ def _fan_out_generation(paths_by_gm: dict, args) -> None:
             print(f"warning: {len(failed)} generation workers exited nonzero")
 
 
+def _generated_dir(path: Path, args) -> Path:
+    """Per-map output dir. Keyed on set folder + stem: bare stems collide
+    across tracks/sets that reuse the same .osu filename."""
+    set_name = path.parent.parent.name if path.parent.name == "beatmaps" else path.parent.name
+    return Path(args.dataset_path) / "generated" / f"{set_name}_{path.stem}"
+
+
 def _already_generated(path: Path, args) -> bool:
-    out = Path(args.dataset_path) / "generated" / path.stem
+    out = _generated_dir(path, args)
     return out.is_dir() and any(out.glob("*.osu"))
 
 
 def _generated_for(path: Path, args):
-    out = Path(args.dataset_path) / "generated" / path.stem
+    out = _generated_dir(path, args)
     found = sorted(out.glob("*.osu")) if out.is_dir() else []
     return found[0] if found else None
 

@@ -44,8 +44,14 @@ ask_choice() { # ask_choice "prompt" default varname option...
     for i in "${!options[@]}"; do
         echo "  $((i+1))) ${options[i]}"
     done
-    read -p "Select option (1-${#options[@]}) [default: $default]: " choice
-    choice=${choice:-$default}
+    while true; do
+        read -p "Select option (1-${#options[@]}) [default: $default]: " choice
+        choice=${choice:-$default}
+        if [[ "$choice" =~ ^[0-9]+$ ]] && [ "$choice" -ge 1 ] && [ "$choice" -le ${#options[@]} ]; then
+            break
+        fi
+        echo "Please enter a number between 1 and ${#options[@]}."
+    done
     printf -v "$var" '%s' "${options[$((choice-1))]}"
 }
 

@@ -272,18 +272,22 @@ def make_engine_generate_fn(engine, vocab) -> Callable:
         else:
             prompts = cond_prompt
 
+        use_cfg = cfg_scale > 1 and uncond_prompt is not None
         if num_beams > 1:
             tokens, _ = engine.generate_beams(
                 encoder_states, prompts, pipeline, eos_ids, num_beams,
                 max_length=max_length, seed=seed,
+                cfg_scale=cfg_scale if use_cfg else 1.0,
             )
+            # beams already return only the positive-half best hypotheses
+            use_cfg = False
         else:
             tokens, _ = engine.generate(
                 encoder_states, prompts, pipeline, eos_ids,
                 seed=seed, cfg_scale=cfg_scale, max_length=max_length,
             )
         elapsed = time.perf_counter() - t0
-        if cfg_scale > 1 and uncond_prompt is not None:
+        if use_cfg:
             tokens = tokens[tokens.shape[0] // 2 :]
         per_sample = (
             (tokens != vocab.pad_id).sum(axis=1) - (cond_prompt != vocab.pad_id).sum(axis=1)

@@ -86,7 +86,7 @@ def load_legacy_checkpoint(directory: Union[str, Path], train_args=None):
     (reference: model_utils.py:356-397 local-custom branch)."""
     import torch
 
-    from .convert import convert_mapperatorinator_state_dict
+    from .convert import backbone_family, convert_mapperatorinator_state_dict
     from .mapperatorinator import Mapperatorinator, build_config
 
     directory = Path(directory)
@@ -112,6 +112,7 @@ def load_legacy_checkpoint(directory: Union[str, Path], train_args=None):
     config = build_config(train_args, vocab)
     model = Mapperatorinator(config)
     params = {"params": convert_mapperatorinator_state_dict(
-        {k: v for k, v in state.items()}, config
+        {k: v for k, v in state.items()}, config,
+        family=backbone_family(train_args.model.name),
     )}
     return model, params, vocab

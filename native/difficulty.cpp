@@ -473,8 +473,6 @@ double rhythm_value(const std::vector<DiffObject>& d, size_t i, double great_win
 
     int historical_note_count = std::min<int>(static_cast<int>(i), 32);
     int rhythm_start = 0;
-    auto start_time = [&](int back) { return d[i - back].delta_time; };
-    (void)start_time;
     // accumulate object start times backwards
     std::vector<double> rel_start(historical_note_count + 2, 0.0);
     for (int b = 1; b <= historical_note_count + 1 && static_cast<int>(i) - b >= 0; ++b)
@@ -644,25 +642,24 @@ double osu_std_stars_v2(const double* times, const double* xs, const double* ys,
     std::vector<double> t(n);
     for (int32_t i = 0; i < n; ++i) t[i] = objs[i].time;
 
-    // skills: aim (with sliders), aim (without), speed (with rhythm)
+    // skills: aim (with sliders) + speed (with the rhythm multiplier).
+    // (The no-sliders aim pass only feeds lazer's SliderFactor pp attribute,
+    // which the star rating does not use — deliberately not computed.)
     constexpr double aim_skill_multiplier = 23.55;
     constexpr double aim_decay = 0.15;
     constexpr double speed_skill_multiplier = 1375.0;
     constexpr double speed_decay = 0.3;
 
-    std::vector<double> aim_strains(n, 0.0), aim_ns_strains(n, 0.0), speed_strains(n, 0.0);
-    double aim_strain = 0.0, aim_ns_strain = 0.0, speed_strain = 0.0;
+    std::vector<double> aim_strains(n, 0.0), speed_strains(n, 0.0);
+    double aim_strain = 0.0, speed_strain = 0.0;
     for (int32_t i = 1; i < n; ++i) {
         double dt = d[i].delta_time;
         aim_strain = aim_strain * std::pow(aim_decay, dt / 1000.0) +
                      aim_value(d, i, true) * aim_skill_multiplier;
-        aim_ns_strain = aim_ns_strain * std::pow(aim_decay, dt / 1000.0) +
-                        aim_value(d, i, false) * aim_skill_multiplier;
         double rhythm = rhythm_value(d, i, great_window);
         speed_strain = speed_strain * std::pow(speed_decay, dt / 1000.0) +
                        speed_value(d, i, great_window) * speed_skill_multiplier;
         aim_strains[i] = aim_strain;
-        aim_ns_strains[i] = aim_ns_strain;
         speed_strains[i] = speed_strain * rhythm;
     }
 

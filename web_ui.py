@@ -237,6 +237,17 @@ def load_descriptors() -> dict:
     return sets
 
 
+def _reap_job(job_id) -> None:
+    """Release the finished job's process handle and queue fds — entries
+    otherwise accumulate for the lifetime of the server."""
+    with JOBS_LOCK:
+        job = JOBS.pop(job_id, None)
+    if job is None:
+        return
+    job["process"].join(timeout=5)
+    job["queue"].close()
+
+
 def _spawn(worker, form: dict) -> str:
     job_id = uuid.uuid4().hex
     ctx = multiprocessing.get_context("spawn")
@@ -291,8 +302,9 @@ class Handler(BaseHTTPRequestHandler):
             self._file(REPO_ROOT / "template" / "index_mai_mod.html", "text/html; charset=utf-8")
         elif path.startswith("/static/"):
             rel = path[len("/static/"):]
-            target = (REPO_ROOT / "static" / rel).resolve()
-            if not str(target).startswith(str((REPO_ROOT / "static").resolve())):
+            static_root = (REPO_ROOT / "static").resolve()
+            target = (static_root / rel).resolve()
+            if not target.is_relative_to(static_root):
                 self._json({"error": "forbidden"}, 403)
                 return
             ctype = {
@@ -327,6 +339,7 @@ class Handler(BaseHTTPRequestHandler):
         self.end_headers()
         log_queue = job["queue"]
         proc = job["process"]
+        finished = False
         try:
             while True:
                 try:
@@ -335,15 +348,20 @@ class Handler(BaseHTTPRequestHandler):
                     if not proc.is_alive():
                         self.wfile.write(b"data: __DONE__\n\n")
                         self.wfile.flush()
+                        finished = True
                         return
                     continue
                 for chunk in str(line).splitlines() or [""]:
                     self.wfile.write(f"data: {chunk}\n\n".encode())
                 self.wfile.flush()
                 if line in ("__DONE__",) or str(line).startswith("__ERROR__"):
+                    finished = True
                     return
         except (BrokenPipeError, ConnectionResetError):
             return
+        finally:
+            if finished:
+                _reap_job(job_id)
 
     # -- POST -----------------------------------------------------------------
 
