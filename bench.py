@@ -192,6 +192,56 @@ def e2e_3min_seconds(on_tpu: bool) -> float:
     return elapsed
 
 
+def dit_refine_seconds(on_tpu: bool) -> float:
+    """BASELINE measurement config #3: DiT DDIM coordinate refinement over a
+    3-minute object stream (chunked banded sampling with CFG dual-half;
+    reference: diffusion_pipeline.py:111-284, configs respacing [100,0,...])."""
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.diffusion.vocab import DiffusionVocab
+    from mapperatorinator_tpu.infer.diffusion_pipeline import DiffusionPipeline
+    from mapperatorinator_tpu.infer.processor import GenerationConfig
+    from mapperatorinator_tpu.models.dit import DiT, DiTConfig
+    from mapperatorinator_tpu.osu.events import Event, EventType
+
+    args = compose("configs/inference", "v32", schema_cls=schema.InferenceConfig)
+    args.seed = 0
+    vocab = DiffusionVocab(num_cs_classes=1)
+    if on_tpu:
+        dit_cfg = DiTConfig.from_name("DiT-B", context_size=272, class_size=vocab.num_tokens)
+        n_objects, steps = 720, 100  # ~4 obj/s over 3 minutes; [100,0,...] respacing
+    else:
+        dit_cfg = DiTConfig(in_channels=2, context_size=272, hidden_size=32,
+                            depth=1, num_heads=2, class_size=vocab.num_tokens)
+        n_objects, steps = 64, 8
+    args.timesteps = [steps]
+    args.diffusion.model.diffusion_steps = 1000 if on_tpu else 8
+
+    model = DiT(dit_cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((2, 8, dit_cfg.in_channels)),
+        jnp.zeros((2,), jnp.int32),
+        jnp.zeros((2, 8, dit_cfg.context_size)),
+        jnp.zeros((2, dit_cfg.class_size)),
+    )
+    pipeline = DiffusionPipeline(args, (model, params), vocab=vocab)
+
+    events = []
+    for i in range(n_objects):
+        events += [
+            Event(EventType.TIME_SHIFT, 250 * i),
+            Event(EventType.DISTANCE, 80),
+            Event(EventType.CIRCLE),
+        ]
+    cfg = GenerationConfig()
+    pipeline.generate(events[: 3 * 16], cfg, timing=None, verbose=False)  # compile warmup
+    t0 = time.perf_counter()
+    out = pipeline.generate(events, cfg, timing=None, verbose=False)
+    elapsed = time.perf_counter() - t0
+    assert any(e.type == EventType.POS_X for e in out)
+    return elapsed
+
+
 def main() -> None:
     from mapperatorinator_tpu.config import compose, schema
     from mapperatorinator_tpu.osu import build_vocabulary
@@ -219,6 +269,7 @@ def main() -> None:
     del engine
 
     e2e = e2e_3min_seconds(on_tpu)
+    dit_secs = dit_refine_seconds(on_tpu)
 
     print(
         json.dumps(
@@ -232,6 +283,7 @@ def main() -> None:
                     "decode_tok_s_batch1": round(tok_s_b1, 1),
                     "decode_tok_s_batch8": round(tok_s_b8, 1),
                     "decode_tok_s_batch8_full_window": round(tok_s_b8_full, 1),
+                    "dit_ddim_refine_3min_seconds": round(dit_secs, 2),
                 },
             }
         )
