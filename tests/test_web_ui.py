@@ -204,3 +204,53 @@ def test_start_inference_drives_generation(server, tmp_path):
                 raise AssertionError(f"generation failed: {line}")
     assert done, "stream did not finish in time"
     assert list(out_dir.glob("*.osu")), "no .osu produced"
+
+
+def test_static_path_traversal_forbidden(server):
+    """Resolved paths outside static/ are rejected (incl. prefix-sharing
+    sibling dirs)."""
+    import urllib.error
+
+    for path in ("/static/../web_ui.py", "/static/%2e%2e/web_ui.py"):
+        try:
+            with urllib.request.urlopen(server + path) as resp:
+                status, body = resp.status, resp.read().decode()
+        except urllib.error.HTTPError as e:
+            status, body = e.code, e.read().decode()
+        assert status in (403, 404), (path, status)
+        assert "REPO_ROOT" not in body
+
+
+def _quick_worker(form, q):
+    # module-level: spawned processes must pickle the target
+    q.put("hello")
+    q.put("__DONE__")
+
+
+def test_finished_jobs_are_reaped(server):
+    """A completed job's entry leaves the JOBS table once its stream drains
+    (process handle + queue fd leak otherwise)."""
+    import web_ui
+
+    job_id = web_ui._spawn(_quick_worker, {})
+    with web_ui.JOBS_LOCK:
+        assert job_id in web_ui.JOBS
+    lines = []
+    with urllib.request.urlopen(server + f"/stream_output?job_id={job_id}") as resp:
+        deadline = time.time() + 30
+        while time.time() < deadline:
+            line = resp.readline().decode()
+            if not line:
+                break
+            lines.append(line)
+            if "__DONE__" in line:
+                break
+    assert any("hello" in l for l in lines)
+    deadline = time.time() + 10
+    while time.time() < deadline:
+        with web_ui.JOBS_LOCK:
+            if job_id not in web_ui.JOBS:
+                break
+        time.sleep(0.2)
+    with web_ui.JOBS_LOCK:
+        assert job_id not in web_ui.JOBS
