@@ -235,3 +235,34 @@ def test_cfg_dual_batch(tiny):
     # generated region starts after the 64-token prompt bucket
     assert (tokens[0, 64:] == tokens[1, 64:]).all()
     assert (tokens[:, 64:] != 0).any()  # something was generated
+
+
+def test_bucketed_cache_attention_matches_full_reads():
+    """The live-prefix lax.switch path (decode_attend_bucket) must produce
+    the same tokens as full cache reads — it only fires at batch >= 2 with a
+    buffer longer than one bucket, so small default-test shapes never
+    exercise it; force it here with a tiny bucket."""
+    import dataclasses
+
+    base = TransformerConfig(
+        vocab_size=VOCAB, d_model=16, encoder_layers=1, decoder_layers=1,
+        encoder_heads=2, decoder_heads=2, encoder_ffn=32, decoder_ffn=32,
+        max_source_positions=8, max_target_positions=96, num_mel_bins=16,
+        conv_stem=False, position_scheme="rope",
+    )
+    feats = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 16))
+    prompt = np.array([[1, 5, 7], [1, 9, 4]], np.int32)
+
+    outs = {}
+    for bucket in (0, 8):  # 0 disables; 8 forces several switch branches
+        cfg = dataclasses.replace(base, decode_attend_bucket=bucket)
+        model = OsuTransformer(cfg)
+        params = model.init(
+            jax.random.PRNGKey(0), features=feats, decoder_input_ids=jnp.ones((2, 4), jnp.int32)
+        )
+        engine = DecodeEngine(model, params, max_length=48)
+        enc = model.apply(params, feats, method=OsuTransformer.encode)
+        tokens, _ = engine.generate(enc, prompt, make_pipeline(), eos_ids=[EOS], seed=0)
+        outs[bucket] = np.asarray(tokens)
+
+    np.testing.assert_array_equal(outs[0], outs[8])
