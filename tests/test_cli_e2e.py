@@ -19,7 +19,11 @@ from tests.fixtures.tiny_checkpoint import (
 
 
 @pytest.mark.slow
-def test_inference_cli_end_to_end(tmp_path):
+@pytest.mark.parametrize("gamemode,extra", [
+    (0, []),
+    (3, ["keycount=4"]),  # mania: column tokens + hold-note rendering
+])
+def test_inference_cli_end_to_end(tmp_path, gamemode, extra):
     ckpt = make_tiny_checkpoint(tmp_path / "ckpt")
     wav = make_wav(tmp_path / "song.wav", seconds=10.0)
     out_dir = tmp_path / "out"
@@ -38,13 +42,13 @@ def test_inference_cli_end_to_end(tmp_path):
         "super_timing=false",
         "generate_positions=false",
         "seed=7",
-        "gamemode=0",
+        f"gamemode={gamemode}",
         "difficulty=4.5",
         "export_osz=false",
         "title=TinyFixture", "artist=pytest", "creator=ci",
         "version=e2e",
         "bpm=120", "offset=0",
-    ]
+    ] + extra
     proc = subprocess.run(
         cmd, cwd=REPO_ROOT, env=env, capture_output=True, text=True, timeout=1500,
     )
