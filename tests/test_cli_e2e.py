@@ -21,6 +21,7 @@ from tests.fixtures.tiny_checkpoint import (
 @pytest.mark.slow
 @pytest.mark.parametrize("gamemode,extra", [
     (0, []),
+    (1, []),              # taiko: drumroll/denden rendering
     (3, ["keycount=4"]),  # mania: column tokens + hold-note rendering
 ])
 def test_inference_cli_end_to_end(tmp_path, gamemode, extra):
