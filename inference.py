@@ -306,8 +306,16 @@ def generate(
 
         stg = SuperTimingGenerator(args, timing_engine, timing_vocab)
         timing_events, _ = stg.generate(audio, generation_config, verbose=verbose)
-        timing = renderer.generate_timing(timing_events)
-        extra_in_context[ContextType.TIMING] = timing
+        timing = renderer.generate_timing(timing_events) if timing_events else None
+        if timing:
+            extra_in_context[ContextType.TIMING] = timing
+        else:
+            timing = None
+            if verbose:
+                logger.warning(
+                    "super-timing ensemble produced no usable timing; falling "
+                    "back to the fixed bpm/offset redline"
+                )
         if ContextType.TIMING in output_type:
             output_type.remove(ContextType.TIMING)
     elif should_generate_timing_context(args, output_type):

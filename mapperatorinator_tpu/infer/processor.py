@@ -328,6 +328,44 @@ class Processor:
         extra_in_context: Optional[dict] = None,
         verbose: bool = True,
     ) -> list[tuple[list[Event], list[int]]]:
+        state = self._prepare_generation(
+            sequences=sequences,
+            generation_config=generation_config,
+            in_context=in_context,
+            out_context=out_context,
+            beatmap_path=beatmap_path,
+            extra_in_context=extra_in_context,
+            verbose=verbose,
+        )
+        self._reset_generation_stats()
+        if self.parallel:
+            self.open_parallel_session(state)
+            self.run_parallel_sessions([state], verbose=verbose)
+        else:
+            self.generate_sequential(
+                sequences=state["sequences"],
+                in_context=state["in_context"],
+                out_context=state["out_context"],
+                model_kwargs=state["model_kwargs"],
+                req_special_tokens=state["req_special_tokens"],
+                verbose=verbose,
+            )
+        return self._finalize_generation(state)
+
+    def _prepare_generation(
+        self,
+        *,
+        sequences,
+        generation_config: GenerationConfig,
+        in_context: Optional[list[ContextType]] = None,
+        out_context: Optional[list[ContextType]] = None,
+        beatmap_path: Optional[str] = None,
+        extra_in_context: Optional[dict] = None,
+        verbose: bool = True,
+    ) -> dict:
+        """Template resolution + context assembly; no model calls. Returns a
+        generation-state dict consumed by the sequential loop or by the
+        parallel-session API below."""
         gen_in_context, gen_out_context, req_special_tokens = self._get_viable_template(
             in_context=in_context,
             out_context=out_context,
@@ -352,20 +390,25 @@ class Processor:
             song_length=song_length,
             verbose=verbose,
         )
-
-        inputs = dict(
+        return dict(
             sequences=sequences,
             in_context=in_context_data,
             out_context=out_context_data,
             model_kwargs=model_kwargs,
             req_special_tokens=req_special_tokens,
-            verbose=verbose,
+            generation_config=generation_config,
+            beatmap_path=beatmap_path,
+            extra_in_context=extra_in_context,
+            requested=list(out_context or []),
         )
-        self._reset_generation_stats()
-        if self.parallel:
-            self.generate_parallel(**inputs)
-        else:
-            self.generate_sequential(**inputs)
+
+    def _finalize_generation(self, state: dict) -> list[tuple[list[Event], list[int]]]:
+        sequences = state["sequences"]
+        out_context_data = state["out_context"]
+        generation_config = state["generation_config"]
+        beatmap_path = state["beatmap_path"]
+        extra_in_context = state["extra_in_context"]
+        song_length = sequences[2]
 
         # Post-process events
         for context in out_context_data:
@@ -414,7 +457,7 @@ class Processor:
                     context["events"], context["event_times"], generation_config.keycount
                 )
 
-        requested = out_context or []
+        requested = state["requested"]
         return [
             (context["events"], context["event_times"])
             for context in out_context_data
@@ -476,74 +519,79 @@ class Processor:
                     context, predicted_tokens, frame_time, trim_lookback, trim_lookahead
                 )
 
-    def generate_parallel(
-        self,
-        *,
-        sequences,
-        in_context: list[dict],
-        out_context: list[dict],
-        model_kwargs: dict,
-        req_special_tokens: list[str],
-        verbose: bool = True,
-    ) -> None:
-        frames = sequences[0]
-        frame_times = sequences[1]
-        song_length = sequences[2]
+    # -- parallel sessions -------------------------------------------------------------
+    #
+    # Parallel ("all windows at once") generation is split into open/run/
+    # consume so that SEVERAL independent generation jobs — e.g. the N
+    # jittered passes of the super-timing ensemble, or different songs in an
+    # offline batch — can pool every window into one shared device batch.
+    # Each row of the decode output routes back to the session that owns it.
 
-        cond_prompts, uncond_prompts, model_kwargses = [], [], []
+    def open_parallel_session(self, state: dict) -> dict:
+        """Attach per-window prompts/kwargs to a prepared generation state."""
+        frames, frame_times, song_length = state["sequences"]
+        windows = []
         for i in range(len(frame_times)):
             frame_time = int(frame_times[i])
             cond_prompt, uncond_prompt = self.get_prompts(
-                self.prepare_context_sequences(in_context, frame_time, False, req_special_tokens),
-                self.prepare_context_sequences(out_context[:1], frame_time, True, req_special_tokens),
+                self.prepare_context_sequences(state["in_context"], frame_time, False, state["req_special_tokens"]),
+                self.prepare_context_sequences(state["out_context"][:1], frame_time, True, state["req_special_tokens"]),
             )
-            cond_prompts.append(cond_prompt)
-            uncond_prompts.append(uncond_prompt)
-            kwargs = dict(model_kwargs)
+            kwargs = dict(state["model_kwargs"])
             if self.do_song_position_embed:
                 kwargs["song_position"] = np.array(
                     [[frame_time / song_length, (frame_time + self.miliseconds_per_sequence) / song_length]],
                     np.float32,
                 )
-            model_kwargses.append(kwargs)
+            windows.append(
+                dict(frames=frames[i], frame_time=frame_time, cond=cond_prompt, uncond=uncond_prompt, kwargs=kwargs)
+            )
+        state["windows"] = windows
+        return state
 
-        cond_prompt, uncond_prompt, max_len = self.stack_prompts(cond_prompts, uncond_prompts)
+    def run_parallel_sessions(self, sessions: list[dict], verbose: bool = True) -> None:
+        """Decode every window of every open session in shared batches."""
+        flat = [(state, window) for state in sessions for window in state["windows"]]
+        if not flat:
+            return
+        cond_prompt, uncond_prompt, _ = self.stack_prompts(
+            [w["cond"] for _, w in flat], [w["uncond"] for _, w in flat]
+        )
+        kw_keys = list(flat[0][1]["kwargs"].keys())
 
         max_batch_size = max(1, self.max_batch_size // self.num_beams // (2 if self.cfg_scale > 1 else 1))
-        num_samples = cond_prompt.shape[0]
-        kw_keys = list(model_kwargses[0].keys())
-
-        sequence_index = 0
-        batches = list(range(0, num_samples, max_batch_size))
+        batches = list(range(0, len(flat), max_batch_size))
         if verbose:
             from tqdm import tqdm
 
             batches = tqdm(batches, dynamic_ncols=True)
         for b in batches:
-            frames_batch = frames[b : b + max_batch_size]
+            chunk = flat[b : b + max_batch_size]
+            frames_batch = np.stack([w["frames"] for _, w in chunk])
             cond_batch = cond_prompt[b : b + max_batch_size]
             uncond_batch = uncond_prompt[b : b + max_batch_size] if uncond_prompt is not None else None
-            kw_batch = {
-                k: np.concatenate([kw[k] for kw in model_kwargses[b : b + max_batch_size]], axis=0) for k in kw_keys
-            }
+            kw_batch = {k: np.concatenate([w["kwargs"][k] for _, w in chunk], axis=0) for k in kw_keys}
             result = self.model_generate(frames_batch, cond_batch, uncond_batch, kw_batch)
 
-            for row in result:
-                frame_time = int(frame_times[sequence_index])
-                sequence = self._strip_left_pads(row)
-                if self.add_out_context_types:
-                    for context in out_context:
-                        start, end = self._get_token_context(
-                            sequence,
-                            self.vocab.context_sos[context["context_type"]],
-                            self.vocab.context_eos[context["context_type"]],
-                            strict=True,
-                        )
-                        self.add_predicted_tokens_to_context(context, sequence[start:end], frame_time)
-                else:
-                    start, end = self._get_token_context(sequence, self.vocab.sos_id, self.vocab.eos_id)
-                    self.add_predicted_tokens_to_context(out_context[0], sequence[start:end], frame_time)
-                sequence_index += 1
+            for (state, window), row in zip(chunk, result):
+                self.consume_parallel_row(state, window["frame_time"], row)
+
+    def consume_parallel_row(self, state: dict, frame_time: int, row: np.ndarray) -> None:
+        """Route one decoded row into its session's out-context events."""
+        out_context = state["out_context"]
+        sequence = self._strip_left_pads(row)
+        if self.add_out_context_types:
+            for context in out_context:
+                start, end = self._get_token_context(
+                    sequence,
+                    self.vocab.context_sos[context["context_type"]],
+                    self.vocab.context_eos[context["context_type"]],
+                    strict=True,
+                )
+                self.add_predicted_tokens_to_context(context, sequence[start:end], frame_time)
+        else:
+            start, end = self._get_token_context(sequence, self.vocab.sos_id, self.vocab.eos_id)
+            self.add_predicted_tokens_to_context(out_context[0], sequence[start:end], frame_time)
 
     # -- AI modding (teacher-forced surprisal analysis) --------------------------------
 

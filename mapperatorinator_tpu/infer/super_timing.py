@@ -1,13 +1,31 @@
-"""Super-timing ensemble generator (reference:
-``osuT5/osuT5/inference/super_timing_generator.py:15-358``).
+"""Ensemble timing inference (behavioral counterpart of reference
+``osuT5/osuT5/inference/super_timing_generator.py``).
 
-Runs N parallel-mode timing generations with random audio offsets — the
-windows of all iterations batch beautifully on TPU — accumulates beat/
-measure/timing-point histograms, gaussian-smooths, peak-finds, derives
-per-peak BPM from ticks-per-beat histograms with octave normalization to the
-median BPM, greedily walks beats bidirectionally from the most prominent
-peaks, and repairs the measure signature. All analysis is scipy/numpy
-host-side; only the model passes touch the device.
+The idea: a single timing pass is noisy, but N passes over randomly
+offset copies of the audio vote on where beats really are. The reference
+decodes its N passes one at a time; here every window of every ensemble
+member is pooled into ONE shared batched parallel decode (the
+``Processor`` parallel-session API), which is the natural execution shape
+on TPU — the device sees a handful of large batches instead of N small
+sequential jobs.
+
+Host-side analysis is vectorized numpy:
+
+1. accumulate — per-iteration event streams are reduced to beat/measure/
+   timing-point time densities, inter-beat tick samples, and
+   beats-per-measure spans (``_accumulate``);
+2. localize — densities are smoothed and peak-picked; each peak gets a
+   BPM vote from the tick samples around it, normalized to the song's
+   median tempo octave and gap-filled from the nearest confident peak
+   (``_localize_beats``);
+3. walk — a greedy bidirectional walker lays out the beat grid from the
+   most prominent peaks outward (``_BeatWalker``);
+4. label + repair — each grid point is typed by the dominant density in
+   its neighborhood, then measure downbeats are re-phased to the
+   estimated signature (``_label_beats``, ``_repair_measures``).
+
+All numeric constants are the ensemble's behavioral contract, locked by
+``tests/test_super_timing_golden.py``.
 """
 
 from __future__ import annotations
@@ -22,7 +40,31 @@ from ..osu.vocab import MILLISECONDS_PER_STEP
 from .preprocessor import Preprocessor
 from .processor import Processor
 
-MILLISECONDS_PER_SECOND = 1000
+MS_PER_SECOND = 1000
+
+# -- analysis constants (contract with the reference ensemble) ----------------
+SMOOTH_SIGMA = 10.0  # gaussian blur of the vote densities, ms
+DENSITY_GAIN = 50.0  # vote densities are rescaled to ~per-iteration units
+TPB_MIN, TPB_MAX = 20, 100  # plausible inter-beat ticks (10 ms steps), exclusive
+BPM_WINDOW_MS = 200  # tick samples this close to a peak vote on its BPM
+SNAP_MS = 60  # walker: prominence-weighted snap-to-peak radius
+HALT_MS = 300  # walker: a confident off-grid peak this close halts the walk
+REGION_MARGIN_MS = 200  # claimed-region margin around each walked span
+TYPE_WINDOW_MS = 10  # half-width of the density mass used to type a beat
+PEAK_KWARGS = dict(distance=50, prominence=0.1, rel_height=1, width=2, wlen=50)
+
+_BEAT, _MEASURE, _TIMING_POINT = 0, 1, 2
+_TYPE_CODE = {EventType.BEAT: _BEAT, EventType.MEASURE: _MEASURE, EventType.TIMING_POINT: _TIMING_POINT}
+_CODE_TYPE = {v: k for k, v in _TYPE_CODE.items()}
+
+
+def _window_mass(density: np.ndarray, time: int) -> float:
+    """Density mass in ±TYPE_WINDOW_MS around ``time``.
+
+    Uses a raw numpy slice on purpose: for ``time < TYPE_WINDOW_MS`` the
+    negative start wraps and the slice is empty (mass 0) — a reference
+    quirk that is part of the locked behavior."""
+    return density[time - TYPE_WINDOW_MS : time + TYPE_WINDOW_MS].sum()
 
 
 class SuperTimingGenerator:
@@ -40,251 +82,315 @@ class SuperTimingGenerator:
         self.types_first = args.train.data.types_first
         self.iterations = args.timer_iterations
 
-        self.frame_seq_len = args.train.data.src_seq_len - 1
-        self.frame_size = args.train.model.spectrogram.hop_length
         self.sample_rate = args.train.model.spectrogram.sample_rate
-        self.samples_per_sequence = self.frame_seq_len * self.frame_size
-        self.miliseconds_per_sequence = self.samples_per_sequence * MILLISECONDS_PER_SECOND / self.sample_rate
+        window_samples = (args.train.data.src_seq_len - 1) * args.train.model.spectrogram.hop_length
+        self.miliseconds_per_sequence = window_samples * MS_PER_SECOND / self.sample_rate
+
+    # -- entry --------------------------------------------------------------------
 
     def generate(self, audio, generation_config, verbose: bool = False):
-        num_ms = len(audio) * MILLISECONDS_PER_SECOND // self.sample_rate
-        beats_hist = np.zeros(num_ms, int)
-        measures_hist = np.zeros(num_ms, int)
-        timing_points_hist = np.zeros(num_ms, int)
-        tpbs: list[tuple] = []
-        measure_counts: list[tuple] = []
-
+        num_ms = len(audio) * MS_PER_SECOND // self.sample_rate
+        offsets = self._draw_offsets()
         if verbose:
             print("Generating timing")
+        streams = self._decode_iterations(audio, offsets, generation_config, verbose)
+        return self._analyze(streams, offsets, num_ms)
 
-        iterator = range(self.iterations)
-        if verbose:
-            from tqdm import tqdm
-
-            iterator = tqdm(list(iterator), smoothing=0.1, dynamic_ncols=True)
+    def _draw_offsets(self) -> list[int]:
+        """One random audio offset per ensemble member, within ±half a window."""
         rng = np.random.default_rng(self.processor.seed)
-        for _ in iterator:
-            audio_offset = int(
-                rng.integers(-(self.miliseconds_per_sequence // 2), self.miliseconds_per_sequence // 2)
-            )
-            begin_pad = max(0, audio_offset * self.sample_rate // MILLISECONDS_PER_SECOND)
-            begin_remove = max(0, -audio_offset * self.sample_rate // MILLISECONDS_PER_SECOND)
-            sequences = self.preprocessor.segment(audio[begin_remove:], begin_pad, 0)
-            events, _ = self.processor.generate(
+        half_window = self.miliseconds_per_sequence // 2
+        return [int(rng.integers(-half_window, half_window)) for _ in range(self.iterations)]
+
+    # -- model passes (one pooled batch) ------------------------------------------
+
+    def _decode_iterations(self, audio, offsets, generation_config, verbose: bool = False) -> list[list[Event]]:
+        """Decode all ensemble members' windows in shared device batches.
+
+        Returns, per iteration, the generated event list in that
+        iteration's shifted time frame."""
+        proc = self.processor
+        out_context = [ContextType.MAP] if self.args.train.data.add_timing else [ContextType.TIMING]
+
+        sessions = []
+        for offset in offsets:
+            head_pad = max(0, offset * self.sample_rate // MS_PER_SECOND)
+            head_cut = max(0, -offset * self.sample_rate // MS_PER_SECOND)
+            sequences = self.preprocessor.segment(audio[head_cut:], head_pad, 0)
+            state = proc._prepare_generation(
                 sequences=sequences,
                 generation_config=generation_config,
                 in_context=[ContextType.NONE],
-                out_context=[ContextType.MAP] if self.args.train.data.add_timing else [ContextType.TIMING],
+                out_context=out_context,
                 verbose=False,
-            )[0]
+            )
+            sessions.append(proc.open_parallel_session(state))
+
+        proc._reset_generation_stats()
+        proc.run_parallel_sessions(sessions, verbose=verbose)
+        return [proc._finalize_generation(state)[0][0] for state in sessions]
+
+    # -- ensemble analysis ---------------------------------------------------------
+
+    def _analyze(self, streams, offsets, num_ms):
+        counts, tick_times, tick_values, span_lengths = self._accumulate(streams, offsets, num_ms)
+        if tick_values.size == 0:
+            return [], []
+
+        densities = [gaussian_filter1d(c.astype(float), SMOOTH_SIGMA) / self.iterations * DENSITY_GAIN for c in counts]
+        beat_density, measure_density, tp_density = densities
+
+        peaks = self._localize_beats(beat_density + measure_density + 2 * tp_density, tick_times, tick_values)
+        if peaks is None:
+            return [], []
+
+        beat_times = _BeatWalker(peaks, num_ms).run()
+        beat_types = self._label_beats(beat_times, beat_density, measure_density, tp_density)
+        self._repair_measures(beat_times, beat_types, measure_density, tp_density, span_lengths)
+        return self._emit(beat_times, beat_types)
+
+    def _accumulate(self, streams, offsets, num_ms):
+        """Reduce per-iteration event streams to vote densities and samples.
+
+        Returns (per-type count arrays, inter-beat tick sample times &
+        values, beats-per-measure span lengths)."""
+        counts = [np.zeros(num_ms, np.int64) for _ in range(3)]
+        tick_times, tick_values, span_lengths = [], [], []
+
+        for events, offset in zip(streams, offsets):
             groups, _ = get_groups(events, types_first=self.types_first)
-            last_beat_time = None
-            last_group_type = None
-            last_measure_time = None
-            measure_counter = None
-            for group in groups:
-                time = group.time - audio_offset
-                if time < 0 or time >= num_ms:
-                    continue
-                if group.event_type not in BEAT_TYPES:
-                    continue
-                if group.event_type == EventType.BEAT:
-                    beats_hist[time] += 1
-                    if measure_counter is not None:
-                        measure_counter += 1
-                elif group.event_type == EventType.MEASURE:
-                    measures_hist[time] += 1
-                    if measure_counter is not None:
-                        measure_counts.append((last_measure_time, measure_counter))
-                    last_measure_time = time
-                    measure_counter = 1
-                elif group.event_type == EventType.TIMING_POINT:
-                    timing_points_hist[time] += 1
-                    last_measure_time = time
-                    measure_counter = 1
-
-                if (
-                    last_beat_time is not None
-                    and last_beat_time != time
-                    and not (group.event_type == EventType.TIMING_POINT and last_group_type != EventType.TIMING_POINT)
-                ):
-                    tpb = (time - last_beat_time) // MILLISECONDS_PER_STEP
-                    if 20 < tpb < 100:
-                        tpbs.append((last_beat_time, tpb))
-
-                last_beat_time = time
-                last_group_type = group.event_type
-
-        if not tpbs:
-            return [], []
-
-        beats_hist = gaussian_filter1d(beats_hist.astype(float), 10) / self.iterations * 50
-        measures_hist = gaussian_filter1d(measures_hist.astype(float), 10) / self.iterations * 50
-        timing_points_hist = gaussian_filter1d(timing_points_hist.astype(float), 10) / self.iterations * 50
-
-        tpbs = sorted(tpbs, key=lambda x: x[0])
-        signal = beats_hist + measures_hist + timing_points_hist * 2
-        peakind, properties = find_peaks(signal, distance=50, prominence=0.1, rel_height=1, width=2, wlen=50)
-        prominences = properties["prominences"]
-        if len(peakind) == 0:
-            return [], []
-
-        def get_peak_bpms(w, thresh):
-            peak_bpms = []
-            for peak in peakind:
-                nearby = [tpb for time, tpb in tpbs if peak - w < time < peak + w]
-                hist, bins = np.histogram(nearby, bins=range(20, 100))
-                if hist.size and hist.max() > thresh * hist.sum():
-                    peak_bpms.append(60_000 / (bins[np.argmax(hist)] * 10))
-                else:
-                    peak_bpms.append(np.nan)
-            return np.array(peak_bpms)
-
-        peak_bpms = get_peak_bpms(200, self.bpm_change_threshold)
-        peak_bpms_defined = ~np.isnan(peak_bpms)
-
-        median_bpm = 60_000 / (np.median(np.array(tpbs)[:, 1]) * 10)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            peak_bpms = peak_bpms / np.ceil(peak_bpms / (median_bpm * 1.5))
-            peak_bpms = peak_bpms * np.ceil((median_bpm / 1.5) / peak_bpms)
-
-        for i, bpm in enumerate(peak_bpms):
-            if not np.isnan(bpm):
+            pairs = [(g.time - offset, _TYPE_CODE[g.event_type]) for g in groups if g.event_type in BEAT_TYPES]
+            if not pairs:
                 continue
-            left = i - 1
-            while left >= 0 and np.isnan(peak_bpms[left]):
-                left -= 1
-            right = i + 1
-            while right < len(peak_bpms) and np.isnan(peak_bpms[right]):
-                right += 1
-            if left >= 0 and (right >= len(peak_bpms) or i - left <= right - i):
-                peak_bpms[i] = peak_bpms[left]
-            elif right < len(peak_bpms) and (left < 0 or i - left > right - i):
-                peak_bpms[i] = peak_bpms[right]
+            times = np.array([p[0] for p in pairs], np.int64)
+            codes = np.array([p[1] for p in pairs], np.int64)
+            in_range = (times >= 0) & (times < num_ms)
+            times, codes = times[in_range], codes[in_range]
+            if times.size == 0:
+                continue
+
+            for code in range(3):
+                np.add.at(counts[code], times[codes == code], 1)
+
+            # inter-beat tick samples between consecutive surviving groups;
+            # a fresh timing point after a non-timing-point group starts a
+            # new tempo and contributes no sample
+            prev_t, next_t = times[:-1], times[1:]
+            prev_c, next_c = codes[:-1], codes[1:]
+            ticks = (next_t - prev_t) // MILLISECONDS_PER_STEP
+            valid = (
+                (next_t != prev_t)
+                & ~((next_c == _TIMING_POINT) & (prev_c != _TIMING_POINT))
+                & (ticks > TPB_MIN)
+                & (ticks < TPB_MAX)
+            )
+            tick_times.append(prev_t[valid])
+            tick_values.append(ticks[valid])
+
+            # beats-per-measure: between consecutive measure anchors
+            # (MEASURE or TIMING_POINT), when the later one is a MEASURE,
+            # the span length = anchor distance in groups (all BEATs between)
+            anchors = np.flatnonzero(codes != _BEAT)
+            if anchors.size >= 2:
+                first, second = anchors[:-1], anchors[1:]
+                closes_measure = codes[second] == _MEASURE
+                span_lengths.extend((second - first)[closes_measure].tolist())
+
+        if tick_times:
+            tick_times = np.concatenate(tick_times)
+            tick_values = np.concatenate(tick_values)
+            order = np.argsort(tick_times, kind="stable")
+            tick_times, tick_values = tick_times[order], tick_values[order]
+        else:
+            tick_times = np.zeros(0, np.int64)
+            tick_values = np.zeros(0, np.int64)
+        return counts, tick_times, tick_values, span_lengths
+
+    def _localize_beats(self, signal, tick_times, tick_values):
+        """Peak-pick the combined vote density and assign each peak a BPM.
+
+        Returns dict(times, prominences, bpms, confident) or None if the
+        signal has no peaks."""
+        peak_times, props = find_peaks(signal, **PEAK_KWARGS)
+        if peak_times.size == 0:
+            return None
+        prominences = props["prominences"]
+
+        # per-peak BPM vote: mode of the tick samples within ±BPM_WINDOW_MS,
+        # accepted only when it dominates (> threshold of the local mass)
+        lo = np.searchsorted(tick_times, peak_times - BPM_WINDOW_MS, side="right")
+        hi = np.searchsorted(tick_times, peak_times + BPM_WINDOW_MS, side="left")
+        # tick values run TPB_MIN+1 .. TPB_MAX-1; the top value shares a bin
+        # with TPB_MAX-2 (a reference histogram-edge quirk)
+        low_tick = TPB_MIN + 1
+        n_bins = TPB_MAX - TPB_MIN - 2
+        bpms = np.full(peak_times.shape, np.nan)
+        for i in range(len(peak_times)):
+            local = tick_values[lo[i] : hi[i]]
+            votes = np.bincount(np.minimum(local - low_tick, n_bins - 1), minlength=n_bins)
+            total = votes.sum()
+            if total and votes.max() > self.bpm_change_threshold * total:
+                bpms[i] = 60_000 / ((low_tick + int(votes.argmax())) * MILLISECONDS_PER_STEP)
+
+        confident = ~np.isnan(bpms)
+
+        # fold every peak BPM into the song's median tempo octave
+        median_bpm = 60_000 / (np.median(tick_values) * MILLISECONDS_PER_STEP)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            bpms = bpms / np.ceil(bpms / (median_bpm * 1.5))
+            bpms = bpms * np.ceil((median_bpm / 1.5) / bpms)
+
+        bpms = self._fill_bpm_gaps(bpms, median_bpm)
+        return dict(times=peak_times, prominences=prominences, bpms=bpms, confident=confident)
+
+    @staticmethod
+    def _fill_bpm_gaps(bpms: np.ndarray, fallback: float) -> np.ndarray:
+        """Fill NaN peaks: the leading run copies the first defined value,
+        every later NaN copies its left neighbor (the reference fills
+        in-place left-to-right with a ties-go-left rule, which reduces to
+        exactly this back-fill + forward-fill)."""
+        known = np.flatnonzero(~np.isnan(bpms))
+        if known.size == 0:
+            return np.full_like(bpms, fallback)
+        if known.size == len(bpms):
+            return bpms
+        out = bpms.copy()
+        out[: known[0]] = bpms[known[0]]
+        source = np.where(~np.isnan(out), np.arange(len(out)), 0)
+        np.maximum.accumulate(source, out=source)
+        return out[source]
+
+    def _label_beats(self, beat_times, beat_density, measure_density, tp_density):
+        """Type each walked beat by the dominant vote density around it."""
+        types = []
+        for time in beat_times:
+            beat = _window_mass(beat_density, time)
+            measure = _window_mass(measure_density, time)
+            tp = _window_mass(tp_density, time)
+            if tp > beat and tp > measure and beat + measure + tp > 1:
+                types.append(EventType.TIMING_POINT)
             else:
-                peak_bpms[i] = median_bpm
+                types.append(EventType.BEAT)
+        return types
 
-        peaks = list(zip(peakind, prominences, peak_bpms, peak_bpms_defined))
-        beat_times: list[int] = []
-        to_process = sorted(peaks, key=lambda x: x[1], reverse=True)
-        processed_regions: list[tuple] = []
+    def _repair_measures(self, beat_times, beat_types, measure_density, tp_density, span_lengths):
+        """Re-phase measure downbeats onto the estimated time signature.
 
-        def remove_range(t1, t2):
-            if t1 > t2:
-                t1, t2 = t2, t1
-            i = 0
-            while i < len(to_process):
-                if t1 <= to_process[i][0] <= t2:
-                    to_process.pop(i)
-                else:
-                    i += 1
-
-        def walk(start_time, period_ms, direction):
-            def loss(peak, time):
-                return abs(peak[0] - time) / peak[1]
-
-            time = start_time
-            while True:
-                previous_time = time
-                time += direction * period_ms
-                if not (0 <= time < num_ms):
-                    remove_range(previous_time, time)
-                    break
-                nearest = min(peaks, key=lambda x: loss(x, time))
-                if loss(nearest, time) < 60:
-                    time = nearest[0]
-                    period_ms = 60_000 / nearest[2]
-                else:
-                    if loss(nearest, time) < 300 and nearest[3]:
-                        time -= direction * period_ms
-                        break
-                if any(t1 <= time <= t2 for t1, t2 in processed_regions):
-                    break
-                beat_times.append(int(time))
-
-            m = 200
-            if direction > 0:
-                processed_regions.append((start_time - m, time + m))
-                remove_range(start_time - m, time + m)
-            else:
-                processed_regions.append((time - m, start_time + m))
-                remove_range(time - m, start_time + m)
-
-        while to_process:
-            peak = to_process.pop(0)
-            time = peak[0]
-            period_ms = 60_000 / peak[2]
-            beat_times.append(int(time))
-            walk(time, period_ms, 1)
-            walk(time, period_ms, -1)
-
-        beat_times = sorted(beat_times)
-
-        beat_types = []
-        w = 10
-        for beat_time in beat_times:
-            beat = beats_hist[beat_time - w : beat_time + w].sum()
-            measure = measures_hist[beat_time - w : beat_time + w].sum()
-            timing_point = timing_points_hist[beat_time - w : beat_time + w].sum()
-            total = beat + measure + timing_point
-            if timing_point > beat and timing_point > measure and total > 1:
-                beat_types.append(EventType.TIMING_POINT)
-            else:
-                beat_types.append(EventType.BEAT)
-
-        # measure-signature repair
-        beats = list(zip(beat_times, beat_types))
-        timing_signature = int(np.median([sig for _, sig in measure_counts])) if measure_counts else 4
+        Walks the labeled grid keeping a cooldown: positive while inside a
+        committed measure, negative while deferring to a better-phased
+        downbeat ahead. Phase scores average the measure+timing-point mass
+        at beats that are whole measures away. Mutates ``beat_types``."""
+        signature = int(np.median(span_lengths)) if span_lengths else 4
+        original_types = list(beat_types)
         cooldown = 0
-        for i, (beat_time, beat_type) in enumerate(beats):
+        for i, labeled in enumerate(original_types):
             if cooldown > 0:
                 cooldown -= 1
                 continue
             if cooldown < 0:
                 cooldown += 1
-                if cooldown == 0 and beat_type != EventType.TIMING_POINT:
+                if cooldown == 0 and labeled != EventType.TIMING_POINT:
                     beat_types[i] = EventType.MEASURE
-                    cooldown = timing_signature - 1
+                    cooldown = signature - 1
                 continue
-            if beat_type == EventType.TIMING_POINT:
+            if labeled == EventType.TIMING_POINT:
                 continue
 
-            offset_scores = []
-            for k in range(timing_signature):
-                score = 0.0
-                count = 0
-                for j in range(-3, 4):
-                    index = i + j * timing_signature + k
-                    if index < 0 or index >= len(beat_times):
+            phase_scores = []
+            for phase in range(signature):
+                mass, used = 0.0, 0
+                for measure_step in range(-3, 4):
+                    j = i + measure_step * signature + phase
+                    if j < 0 or j >= len(beat_times):
                         continue
-                    if any(
-                        beat_types[kk] == EventType.TIMING_POINT
-                        for kk in np.arange(1, abs(j)) * np.sign(j)
-                    ):
+                    # reference quirk: the timing-point blocker checks
+                    # absolute grid indices 1..|step|-1 (sign-mirrored), not
+                    # indices relative to i — replicated for parity
+                    step_sign = 1 if measure_step > 0 else -1
+                    blockers = range(step_sign, measure_step, step_sign) if abs(measure_step) > 1 else ()
+                    if any(beat_types[k] == EventType.TIMING_POINT for k in blockers):
                         continue
-                    other_time = beat_times[index]
-                    measure = measures_hist[other_time - w : other_time + w].sum()
-                    timing_point = timing_points_hist[other_time - w : other_time + w].sum()
-                    score += measure + timing_point
-                    count += 1
-                offset_scores.append(0 if count == 0 else score / count)
+                    mass += _window_mass(measure_density, beat_times[j]) + _window_mass(tp_density, beat_times[j])
+                    used += 1
+                phase_scores.append(mass / used if used else 0.0)
 
-            if np.argmax(offset_scores) == 0:
+            best_phase = int(np.argmax(phase_scores))
+            if best_phase == 0:
                 beat_types[i] = EventType.MEASURE
-                cooldown = timing_signature - 1
+                cooldown = signature - 1
             else:
                 beat_types[i] = EventType.BEAT
-                cooldown = -int(np.argmax(offset_scores))
+                cooldown = -best_phase
 
-        events: list[Event] = []
-        event_times: list[int] = []
-        for beat_time, beat_type in zip(beat_times, beat_types):
-            if self.types_first:
-                events.append(Event(beat_type))
-            events.append(Event(EventType.TIME_SHIFT, beat_time))
-            if not self.types_first:
-                events.append(Event(beat_type))
-            event_times.append(beat_time)
-            event_times.append(beat_time)
-
+    def _emit(self, beat_times, beat_types):
+        events, event_times = [], []
+        for time, beat_type in zip(beat_times, beat_types):
+            type_event = Event(beat_type)
+            shift_event = Event(EventType.TIME_SHIFT, time)
+            events.extend([type_event, shift_event] if self.types_first else [shift_event, type_event])
+            event_times.extend([time, time])
         return events, event_times
+
+
+class _BeatWalker:
+    """Greedy bidirectional beat-grid layout from prominence-ranked peaks.
+
+    Seeds at the strongest unclaimed peak and steps outward one period at
+    a time, snapping to nearby peaks (error weighted by 1/prominence) and
+    adopting their tempo. A confident peak that is close-but-not-snappable
+    halts the walk (probable tempo boundary); walked spans claim a margin
+    so weaker peaks inside them never seed."""
+
+    def __init__(self, peaks: dict, num_ms: int):
+        self.times = peaks["times"]
+        self.prominences = peaks["prominences"]
+        self.bpms = peaks["bpms"]
+        self.confident = peaks["confident"]
+        self.num_ms = num_ms
+        self.pending = np.ones(len(self.times), bool)
+        self.claimed: list[tuple[float, float]] = []
+        self.beat_times: list[int] = []
+
+    def run(self) -> list[int]:
+        by_prominence = sorted(range(len(self.times)), key=lambda i: self.prominences[i], reverse=True)
+        for seed in by_prominence:
+            if not self.pending[seed]:
+                continue
+            self.pending[seed] = False
+            self.beat_times.append(int(self.times[seed]))
+            period = 60_000 / self.bpms[seed]
+            self._walk(self.times[seed], period, +1)
+            self._walk(self.times[seed], period, -1)
+        return sorted(self.beat_times)
+
+    def _claim(self, lo: float, hi: float) -> None:
+        if lo > hi:
+            lo, hi = hi, lo
+        self.pending[(self.times >= lo) & (self.times <= hi)] = False
+
+    def _walk(self, seed_time, period, direction) -> None:
+        time = seed_time
+        while True:
+            previous = time
+            time = time + direction * period
+            if not (0 <= time < self.num_ms):
+                self._claim(previous, time)
+                break
+            nearest = int(np.argmin(np.abs(self.times - time) / self.prominences))
+            error = abs(self.times[nearest] - time) / self.prominences[nearest]
+            if error < SNAP_MS:
+                time = self.times[nearest]
+                period = 60_000 / self.bpms[nearest]
+            elif error < HALT_MS and self.confident[nearest]:
+                time = time - direction * period
+                break
+            if any(lo <= time <= hi for lo, hi in self.claimed):
+                break
+            self.beat_times.append(int(time))
+
+        if direction > 0:
+            region = (seed_time - REGION_MARGIN_MS, time + REGION_MARGIN_MS)
+        else:
+            region = (time - REGION_MARGIN_MS, seed_time + REGION_MARGIN_MS)
+        self.claimed.append(region)
+        self._claim(*region)

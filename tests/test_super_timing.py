@@ -6,10 +6,8 @@ import numpy as np
 import pytest
 
 from mapperatorinator_tpu.config import compose, schema
-from mapperatorinator_tpu.infer.processor import Processor
 from mapperatorinator_tpu.infer.super_timing import SuperTimingGenerator
 from mapperatorinator_tpu.osu.events import Event, EventType
-from mapperatorinator_tpu.osu.vocab import build_vocabulary
 
 REPO_ROOT = "/root/repo"
 
@@ -38,6 +36,21 @@ def _true_beats():
     return beats
 
 
+def _fake_streams(offsets):
+    """Per-iteration event lists the way a model seeing offset audio would
+    emit them: true beat grid shifted by the offset plus per-beat jitter."""
+    streams = []
+    for offset in offsets:
+        rng = np.random.default_rng(abs(int(offset)) + 1)
+        events = []
+        for t, typ in _true_beats():
+            shifted = t + int(offset) + int(rng.normal(0, 4))
+            events.append(Event(EventType.TIME_SHIFT, shifted))
+            events.append(Event(typ))
+        streams.append(events)
+    return streams
+
+
 @pytest.fixture
 def generator(monkeypatch):
     args = compose(
@@ -51,32 +64,16 @@ def generator(monkeypatch):
         ],
         schema_cls=schema.InferenceConfig,
     )
+    from mapperatorinator_tpu.osu.vocab import build_vocabulary
+
     vocab = build_vocabulary(args.train)
 
-    gen_holder = {}
-    offsets = iter([])
-
-    def fake_generate(self, sequences=None, generation_config=None, in_context=None,
-                      out_context=None, verbose=False):
-        offset = next(offsets)
-        rng = np.random.default_rng(abs(offset) + 1)
-        events = []
-        for t, typ in _true_beats():
-            shifted = t + offset + int(rng.normal(0, 4))  # per-iteration jitter
-            events.append(Event(EventType.TIME_SHIFT, shifted))
-            events.append(Event(typ))
-        return [(events, None)]
-
-    monkeypatch.setattr(Processor, "generate", fake_generate)
-    gen = SuperTimingGenerator(args, engine=None, vocab=vocab)
-
-    # replicate the generator's internal offset RNG so the fake can shift
-    # events the way a real model (seeing offset audio) would
-    rng = np.random.default_rng(gen.processor.seed)
-    half = gen.miliseconds_per_sequence // 2
-    offsets = iter([int(rng.integers(-half, half)) for _ in range(gen.iterations)])
-    gen_holder["gen"] = gen
-    return gen
+    monkeypatch.setattr(
+        SuperTimingGenerator,
+        "_decode_iterations",
+        lambda self, audio, offsets, generation_config, verbose=False: _fake_streams(offsets),
+    )
+    return SuperTimingGenerator(args, engine=None, vocab=vocab)
 
 
 def test_recovers_beat_grid(generator):
@@ -105,10 +102,70 @@ def test_recovers_beat_grid(generator):
     assert 2.0 < n_beats / n_measures < 5.0
 
 
+@pytest.mark.slow
+def test_batched_ensemble_decode_matches_per_iteration(tmp_path):
+    """The pooled cross-iteration batched decode must emit token-identical
+    events to decoding each ensemble member's windows separately (the
+    reference execution shape, super_timing_generator.py:63-79)."""
+    from tests.fixtures.tiny_checkpoint import (
+        SRC_SEQ_LEN,
+        TGT_SEQ_LEN,
+        make_tiny_checkpoint,
+        make_wav,
+    )
+
+    import inference
+    from mapperatorinator_tpu.infer.processor import GenerationConfig
+    from mapperatorinator_tpu.osu.events import ContextType
+
+    ckpt = make_tiny_checkpoint(tmp_path / "ckpt")
+    wav = make_wav(tmp_path / "song.wav", seconds=6.0)
+
+    args = compose(
+        f"{REPO_ROOT}/configs/inference",
+        "v32",
+        overrides=[
+            f"model_path={ckpt}",
+            "seed=11",
+            "timer_iterations=2",
+            f"train.data.src_seq_len={SRC_SEQ_LEN}",
+            f"train.data.tgt_seq_len={TGT_SEQ_LEN}",
+        ],
+        schema_cls=schema.InferenceConfig,
+    )
+    engine, vocab = inference.load_model(args)
+    gen = SuperTimingGenerator(args, engine, vocab)
+    audio = gen.preprocessor.load(str(wav))
+    config = GenerationConfig(gamemode=0, difficulty=4.0)
+    offsets = gen._draw_offsets()
+
+    batched = gen._decode_iterations(audio, offsets, config)
+
+    out_context = [ContextType.MAP] if args.train.data.add_timing else [ContextType.TIMING]
+    sequential = []
+    for offset in offsets:
+        head_pad = max(0, offset * gen.sample_rate // 1000)
+        head_cut = max(0, -offset * gen.sample_rate // 1000)
+        sequences = gen.preprocessor.segment(audio[head_cut:], head_pad, 0)
+        result = gen.processor.generate(
+            sequences=sequences,
+            generation_config=config,
+            in_context=[ContextType.NONE],
+            out_context=out_context,
+            verbose=False,
+        )
+        sequential.append(result[0][0])
+
+    assert [[(e.type, e.value) for e in ev] for ev in batched] == [
+        [(e.type, e.value) for e in ev] for ev in sequential
+    ]
+
+
 def test_empty_when_no_beats(generator, monkeypatch):
     monkeypatch.setattr(
-        Processor, "generate",
-        lambda self, **kw: [([], None)],
+        SuperTimingGenerator,
+        "_decode_iterations",
+        lambda self, audio, offsets, generation_config, verbose=False: [[] for _ in offsets],
     )
     audio = np.zeros(SONG_MS * generator.sample_rate // 1000, np.float32)
     events, event_times = generator.generate(audio, generation_config=None)
