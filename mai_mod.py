@@ -347,7 +347,7 @@ def ai_mod(
         records.append({
             "category": category,
             "message": explanation,
-            "surprisal": s.surprisal / 10.0,
+            "surprisal": float(s.surprisal) / 10.0,
             "timestamp": f"{t // 60000:02}:{(t // 1000) % 60:02}:{t % 1000:03}",
             "edit_link": edit_link,
             "group": s.group_str,
@@ -377,12 +377,38 @@ def ai_mod(
     return suggestions_by_category
 
 
+def select_config_for_gamemode(i_args, fallback: str = "v31", verbose: bool = True):
+    """When the beatmap's gamemode is not among the config's trained
+    gamemodes, fall back to the v31 inference preset, which covers all four
+    modes (reference: mai_mod.py:337-360). User-facing paths and the seed
+    carry over; everything else takes the fallback preset's defaults."""
+    beatmap_path = i_args.beatmap_path
+    if not beatmap_path:
+        return i_args
+    beatmap_path = Path(beatmap_path)
+    if not beatmap_path.is_file():
+        raise FileNotFoundError(f"Provided beatmap file path does not exist: {beatmap_path}")
+    if beatmap_path.suffix.lower() != ".osu":
+        raise ValueError(f"Beatmap file must have .osu extension: {beatmap_path}")
+    mode = Beatmap.from_path(beatmap_path).mode
+    if mode in i_args.train.data.gamemodes:
+        return i_args
+    if verbose:
+        print(f"Gamemode {mode} is not supported by the selected config; falling back to {fallback}")
+    new_args = compose(REPO_ROOT / "configs" / "inference", fallback, schema_cls=schema.InferenceConfig)
+    for key in ("beatmap_path", "audio_path", "output_path", "precision", "seed"):
+        setattr(new_args, key, getattr(i_args, key))
+    new_args.gamemode = mode
+    return new_args
+
+
 def run_analysis(i_args, surprisal_threshold: float = 20.0) -> list[dict]:
     """Programmatic MaiMod entry for the web UIs: load the model, analyze
     ``i_args.beatmap_path``, and return structured suggestion records
     (category / message / surprisal / timestamp / osu://edit link)."""
     from inference import compile_args, get_config, load_model
 
+    i_args = select_config_for_gamemode(i_args)
     engine, vocab = load_model(i_args)
     compile_args(i_args, vocab)
     generation_config, _ = get_config(i_args)
@@ -418,6 +444,21 @@ def main(argv=None) -> None:
     i_args.beatmap_path = args.beatmap_path
     i_args.audio_path = args.audio_path
     i_args.precision = args.precision
+
+    # gamemode-unsupported configs fall back to v31 with the user's explicit
+    # inference overrides re-applied (reference: mai_mod.py:337-360)
+    fallback_args = select_config_for_gamemode(i_args)
+    if fallback_args is not i_args:
+        inference_overrides = [o.split("inference.", 1)[1] for o in overrides if o.startswith("inference.")]
+        if inference_overrides:
+            fallback_args = compose(
+                REPO_ROOT / "configs" / "inference", "v31",
+                overrides=inference_overrides, schema_cls=schema.InferenceConfig,
+            )
+            for key in ("beatmap_path", "audio_path", "precision"):
+                setattr(fallback_args, key, getattr(i_args, key))
+            fallback_args.gamemode = Beatmap.from_path(args.beatmap_path).mode
+        i_args = args.inference = fallback_args
 
     engine, vocab = load_model(i_args)
     compile_args(i_args, vocab)

@@ -206,6 +206,62 @@ def test_start_inference_drives_generation(server, tmp_path):
     assert list(out_dir.glob("*.osu")), "no .osu produced"
 
 
+@pytest.mark.slow
+def test_start_mai_mod_returns_suggestions(server, tmp_path):
+    """Full driven MaiMod analysis: form -> worker process -> SSE stream of
+    structured suggestion records (VERDICT r2 item 2)."""
+    from tests.fixtures.tiny_checkpoint import (
+        SRC_SEQ_LEN,
+        TGT_SEQ_LEN,
+        make_tiny_checkpoint,
+        make_wav,
+    )
+    from tests.test_beatmap import SIMPLE_OSU
+
+    ckpt = make_tiny_checkpoint(tmp_path / "ckpt")
+    wav = make_wav(tmp_path / "song.wav", seconds=8.0)
+    osu = tmp_path / "fixture.osu"
+    osu.write_text(SIMPLE_OSU)
+
+    fields = {
+        "model": "v32",
+        "model_path": str(ckpt),
+        "beatmap_path": str(osu),
+        "audio_path": str(wav),
+        "surprisal_threshold": "0",
+        "src_seq_len": str(SRC_SEQ_LEN),
+        "tgt_seq_len": str(TGT_SEQ_LEN),
+    }
+    status, out = _post(server + "/start_mai_mod", fields)
+    assert status == 202, out
+    job_id = out["job_id"]
+
+    suggestions = []
+    deadline = time.time() + 900
+    done = False
+    with urllib.request.urlopen(server + f"/stream_output?job_id={job_id}") as resp:
+        while time.time() < deadline:
+            line = resp.readline().decode()
+            if not line:
+                break
+            if line.startswith("data: __SUGGESTION__"):
+                suggestions.append(json.loads(line[len("data: __SUGGESTION__"):]))
+            elif line.startswith("data: __DONE__"):
+                done = True
+                break
+            elif line.startswith("data: __ERROR__"):
+                raise AssertionError(f"analysis failed: {line}")
+    assert done, "stream did not finish in time"
+    assert suggestions, "no suggestions streamed"
+    for s in suggestions:
+        assert s["category"]
+        assert s["edit_link"].startswith("osu://edit/")
+
+    # missing beatmap_path is rejected up front
+    status, out = _post(server + "/start_mai_mod", {"audio_path": str(wav)})
+    assert status == 400
+
+
 def test_static_path_traversal_forbidden(server):
     """Resolved paths outside static/ are rejected (incl. prefix-sharing
     sibling dirs)."""

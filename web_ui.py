@@ -168,6 +168,11 @@ def _mai_mod_worker(form: dict, q) -> None:
         gm = _first(form, "gamemode")
         if gm not in (None, ""):
             args.gamemode = int(gm)
+        # window-length overrides (tiny checkpoints / tests)
+        for key in ("src_seq_len", "tgt_seq_len"):
+            v = _first(form, key)
+            if v not in (None, ""):
+                setattr(args.train.data, key, int(v))
 
         import mai_mod
 
