@@ -302,11 +302,17 @@ class DecodeEngine:
             attn = jnp.zeros((R, buffer_len), bool).at[:, :P].set(prompt_mask_bn)
             prompt_positions = jnp.clip(jnp.cumsum(prompt_mask_bn, axis=1) - 1, 0)
             n_valid = prompt_mask_bn.sum(axis=1).astype(jnp.int32)
+            # logical position of every cache slot (left pads clamp to 0;
+            # they are masked anyway) — consumed by t5_relpos bias
+            k_positions = jnp.maximum(
+                jnp.arange(buffer_len)[None, :] - (P - n_valid)[:, None], 0
+            )
 
             prompt_embeds = apply(params, "embed_tokens", prompt_ids_bn)
             logits, cache = apply(
                 params, "decode_step", prompt_embeds, cache, 0,
                 self_mask=attn[:, None, None, :], positions=prompt_positions,
+                k_positions=k_positions,
             )
             last_logits = fold(logits[:, -1].astype(jnp.float32))
 
@@ -423,6 +429,7 @@ class DecodeEngine:
                     params, "decode_step", last_embeds, c.cache, c.cur_len - 1,
                     self_mask=c.attention_mask[:, None, None, :],
                     positions=(c.n_valid - 1)[:, None],
+                    k_positions=k_positions,
                 )
                 return step(c._replace(cache=cache2), fold(logits[:, -1].astype(jnp.float32)))
 
@@ -469,6 +476,11 @@ class DecodeEngine:
             # logical positions ignore left pads -> bucketing is output-invariant
             prompt_positions = jnp.clip(jnp.cumsum(prompt_mask, axis=1) - 1, 0)
             n_valid = prompt_mask.sum(axis=1).astype(jnp.int32)  # (B,)
+            # logical position of every cache slot (left pads clamp to 0;
+            # they are masked anyway) — consumed by t5_relpos bias
+            k_positions = jnp.maximum(
+                jnp.arange(buffer_len)[None, :] - (P - n_valid)[:, None], 0
+            )
 
             # key-side mask over cache slots: (B, 1, 1, max_length)
             self_mask = attn[:, None, None, :]
@@ -476,6 +488,7 @@ class DecodeEngine:
             logits, cache = apply(
                 params, "decode_step", prompt_embeds, cache, 0,
                 self_mask=self_mask, positions=prompt_positions,
+                k_positions=k_positions,
             )
             last_logits = logits[:, -1].astype(jnp.float32)
 
@@ -542,6 +555,7 @@ class DecodeEngine:
                 logits, cache = apply(
                     params, "decode_step", last_embeds, c.cache, c.cur_len - 1,
                     self_mask=self_mask, positions=positions,
+                    k_positions=k_positions,
                 )
                 step_logits = logits[:, -1].astype(jnp.float32)
                 sampled, lstate, rng, finished, tokens = sample_from(

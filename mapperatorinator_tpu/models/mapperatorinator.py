@@ -458,9 +458,11 @@ class Mapperatorinator(nn.Module):
     def init_cache(self, batch: int, max_len: int, encoder_states: jnp.ndarray):
         return self.transformer.init_cache(batch, max_len, encoder_states)
 
-    def decode_step(self, input_embeds: jnp.ndarray, cache, cache_index, self_mask=None, positions=None):
+    def decode_step(self, input_embeds: jnp.ndarray, cache, cache_index, self_mask=None, positions=None,
+                    k_positions=None):
         """input_embeds: already-embedded decoder tokens (engine embeds via
         ``embed_tokens`` so ids/embeds handling is uniform across models)."""
         return self.transformer.decode_step(
-            input_embeds, cache, cache_index, self_mask=self_mask, positions=positions
+            input_embeds, cache, cache_index, self_mask=self_mask, positions=positions,
+            k_positions=k_positions,
         )

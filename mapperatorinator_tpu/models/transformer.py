@@ -249,8 +249,12 @@ class RelativePositionBias(nn.Module):
 
     @nn.compact
     def __call__(self, q_pos: jnp.ndarray, k_pos: jnp.ndarray) -> jnp.ndarray:
+        """1-D positions -> (1, H, Tq, Tk); 2-D (per-row) -> (B, H, Tq, Tk)."""
         cfg = self.config
-        rel = k_pos[None, :] - q_pos[:, None]  # (Tq, Tk)
+        if q_pos.ndim == 2:
+            rel = k_pos[:, None, :] - q_pos[:, :, None]  # (B, Tq, Tk)
+        else:
+            rel = (k_pos[None, :] - q_pos[:, None])[None]  # (1, Tq, Tk)
         buckets = relative_position_bucket(
             rel, self.bidirectional,
             cfg.relative_attention_num_buckets, cfg.relative_attention_max_distance,
@@ -259,7 +263,7 @@ class RelativePositionBias(nn.Module):
             cfg.relative_attention_num_buckets, self.num_heads,
             dtype=cfg.dtype, param_dtype=cfg.param_dtype, name="embedding",
         )
-        return table(buckets).transpose(2, 0, 1)[None]  # (1, H, Tq, Tk)
+        return table(buckets).transpose(0, 3, 1, 2)  # (B|1, H, Tq, Tk)
 
 
 # ---------------------------------------------------------------------------
@@ -855,6 +859,7 @@ class Decoder(nn.Module):
         cache: Optional[list] = None,
         cache_index=None,
         deterministic: bool = True,
+        k_positions: Optional[jnp.ndarray] = None,
     ):
         cfg = self.config
         x = inputs_embeds.astype(cfg.dtype)
@@ -876,7 +881,12 @@ class Decoder(nn.Module):
         if cfg.position_scheme == "t5_relpos":
             # keys span the whole cache during decode, else the current block
             k_len = cache[0]["self"]["k"].shape[1] if cache is not None else t
-            pos_bias = self.rel_bias(positions[0], jnp.arange(k_len))
+            if k_positions is not None:
+                # per-row logical key positions (cached decode with left-padded
+                # prompt buckets: cache slots != logical positions)
+                pos_bias = self.rel_bias(positions, k_positions)
+            else:
+                pos_bias = self.rel_bias(positions[0], jnp.arange(k_len))
 
         new_caches = []
         for i, layer in enumerate(self.layers):
@@ -996,13 +1006,16 @@ class OsuTransformer(nn.Module):
         self_mask: Optional[jnp.ndarray] = None,
         cross_mask: Optional[jnp.ndarray] = None,
         positions: Optional[jnp.ndarray] = None,
+        k_positions: Optional[jnp.ndarray] = None,
     ):
         """One (or a chunk of) decode step(s) with cache update.
 
         input_embeds: (B, t, D) for the new token(s); cache_index: scalar
         write offset into the cache. ``positions`` are the logical (RoPE)
         positions (B, t) — pass mask-aware positions to make left padding
-        output-invariant; defaults to the cache slot index.
+        output-invariant; defaults to the cache slot index. ``k_positions``
+        (B, max_len) are the logical positions of each cache slot — required
+        for t5_relpos decode so the bias sees true distances.
         Returns (logits, new_cache)."""
         b, t, _ = input_embeds.shape
         if positions is None:
@@ -1015,6 +1028,7 @@ class OsuTransformer(nn.Module):
             cross_mask=cross_mask,
             cache=cache,
             cache_index=cache_index,
+            k_positions=k_positions,
         )
         return self._lm_head(x), new_cache
 
