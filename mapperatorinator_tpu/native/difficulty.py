@@ -55,6 +55,14 @@ def _load_library():
         lib.catch_stars.restype = ctypes.c_double
         lib.catch_stars.argtypes = [_F64P, _F64P, ctypes.c_int32,
                                     ctypes.c_double, ctypes.c_double]
+        lib.taiko_stars_v2.restype = ctypes.c_double
+        lib.taiko_stars_v2.argtypes = [_F64P, _I32P, ctypes.c_int32, ctypes.c_double]
+        lib.mania_stars_v2.restype = ctypes.c_double
+        lib.mania_stars_v2.argtypes = [_F64P, _F64P, _I32P, ctypes.c_int32,
+                                       ctypes.c_int32, ctypes.c_double]
+        lib.catch_stars_v2.restype = ctypes.c_double
+        lib.catch_stars_v2.argtypes = [_F64P, _F64P, ctypes.c_int32,
+                                       ctypes.c_double, ctypes.c_double]
         _lib = lib
         return _lib
 
@@ -81,7 +89,9 @@ def beatmap_stars(beatmap, speed: float = 1.0) -> float:
     mode = int(beatmap.mode)
     times = [float(h.time) for h in objs]
 
-    if mode == 1:  # taiko: kat = whistle(2) or clap(8); drumrolls/dendens neutral
+    if mode == 1:
+        # taiko (current 2022-rework algorithm): kat = whistle(2) or clap(8);
+        # drumrolls/dendens are non-hits (break colour streaks, no strain)
         colors = []
         for h in objs:
             if isinstance(h, (Slider, Spinner)):
@@ -90,22 +100,46 @@ def beatmap_stars(beatmap, speed: float = 1.0) -> float:
                 colors.append(1 if h.hitsound & 10 else 0)
         t, tp = _arr_f64(times)
         c, cp = _arr_i32(colors)
-        return float(lib.taiko_stars(tp, cp, len(objs), float(speed)))
+        return float(lib.taiko_stars_v2(tp, cp, len(objs), float(speed)))
 
-    if mode == 3:  # mania: column from x position
+    if mode == 3:
+        # mania (current per-column/overall Strain): column from x position;
+        # notes ordered by start time (lazer sorts the same way)
         keys = max(int(round(beatmap.circle_size)), 1)
-        columns = [min(int(h.x * keys / 512.0), keys - 1) for h in objs]
-        end_times = [float(h.end_time) if isinstance(h, HoldNote) else float(h.time) for h in objs]
-        t, tp = _arr_f64(times)
+        order = sorted(range(len(objs)), key=lambda i: objs[i].time)
+        columns = [min(int(objs[i].x * keys / 512.0), keys - 1) for i in order]
+        starts = [float(objs[i].time) for i in order]
+        end_times = [
+            float(objs[i].end_time) if isinstance(objs[i], HoldNote) else float(objs[i].time)
+            for i in order
+        ]
+        t, tp = _arr_f64(starts)
         e, ep = _arr_f64(end_times)
         c, cp = _arr_i32(columns)
-        return float(lib.mania_stars(tp, ep, cp, len(objs), keys, float(speed)))
+        return float(lib.mania_stars_v2(tp, ep, cp, len(objs), keys, float(speed)))
 
-    if mode == 2:  # catch: horizontal positions only
-        xs = [float(h.x) for h in objs]
-        t, tp = _arr_f64(times)
-        x, xp = _arr_f64(xs)
-        return float(lib.catch_stars(tp, xp, len(objs), float(beatmap.circle_size), float(speed)))
+    if mode == 2:
+        # catch (current Movement skill): palpable objects are fruits,
+        # juice-stream droplets (per-tick), repeat and tail fruits — tiny
+        # droplets and banana showers are excluded (lazer
+        # CatchDifficultyCalculator.CreateDifficultyHitObjects)
+        palpable = []  # (time, x)
+        for h in objs:
+            if isinstance(h, Spinner):
+                continue  # banana shower
+            palpable.append((float(h.time), float(h.x)))
+            if isinstance(h, Slider):
+                tp_at = beatmap.timing_point_at(h.time)
+                beat_length = 60000.0 / tp_at.bpm if tp_at is not None and tp_at.bpm else 500.0
+                for nt, prog in _slider_nested(h, beat_length, beatmap.slider_tick_rate or 1.0):
+                    pos = h.position_at_progress(prog)
+                    palpable.append((float(nt), float(pos[0])))
+        palpable.sort(key=lambda p: p[0])
+        if len(palpable) < 2:
+            return 0.0
+        t, tp = _arr_f64([p[0] for p in palpable])
+        x, xp = _arr_f64([p[1] for p in palpable])
+        return float(lib.catch_stars_v2(tp, xp, len(palpable), float(beatmap.circle_size), float(speed)))
 
     # osu!standard — current (lazer 2022+/rosu-pp) algorithm. Slider lazy
     # travel is resolved here via the follow-circle cursor simulation

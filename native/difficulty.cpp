@@ -680,3 +680,636 @@ double osu_std_stars_v2(const double* times, const double* xs, const double* ys,
 }
 
 }  // extern "C"
+
+// ===========================================================================
+// Current-generation (lazer 2022+ era, the algorithms rosu-pp 3.x ships)
+// difficulty for the other three rulesets. Structure and constants follow
+// the published open-source implementations:
+//   taiko — the 2022 colour/rhythm/stamina rework with the Peaks norm
+//           combination and the log rescale
+//           (osu.Game.Rulesets.Taiko.Difficulty)
+//   catch — the Movement skill with direction-change/edge-dash bonuses and
+//           the hyper-dash pre-pass (osu.Game.Rulesets.Catch.Difficulty)
+//   mania — the per-column/overall Strain with hold-overlap additions
+//           (osu.Game.Rulesets.Mania.Difficulty)
+// Bit-parity against rosu-pp is not verifiable in this offline environment;
+// golden snapshot tests in tests/test_difficulty.py lock these
+// implementations against silent drift (see STATUS.md).
+// ===========================================================================
+
+namespace modern_common {
+
+// lazer StrainSkill section machinery: 400 ms (default) sections whose peak
+// is the max running strain; a section opens with the previous strain
+// decayed to the boundary.
+struct SectionPeaks {
+    double section_length;
+    std::vector<double> peaks;
+    double current_peak = 0.0;
+    double section_end = 0.0;
+    bool first = true;
+
+    explicit SectionPeaks(double len = 400.0) : section_length(len) {}
+
+    // initial_at(gap_ms) -> the strain carried into a section that opens
+    // gap_ms after the previous object (lazer CalculateInitialStrain)
+    template <typename InitialFn>
+    void step_with(double time, double prev_time, double strain_after, InitialFn initial_at) {
+        if (first) {
+            section_end = std::ceil(time / section_length) * section_length;
+            first = false;
+        }
+        while (time > section_end) {
+            peaks.push_back(current_peak);
+            current_peak = initial_at(section_end - prev_time);
+            section_end += section_length;
+        }
+        current_peak = std::max(current_peak, strain_after);
+    }
+
+    void step(double time, double prev_time, double strain_after,
+              double initial_strain_at_boundary_base, double decay_base) {
+        step_with(time, prev_time, strain_after, [&](double gap) {
+            return initial_strain_at_boundary_base * std::pow(decay_base, gap / 1000.0);
+        });
+    }
+
+    std::vector<double> collect() const {
+        auto p = peaks;
+        p.push_back(current_peak);
+        return p;
+    }
+};
+
+double weighted_sum(std::vector<double> peaks, double decay_weight) {
+    std::sort(peaks.begin(), peaks.end(), std::greater<double>());
+    double difficulty = 0.0, weight = 1.0;
+    for (double p : peaks) {
+        difficulty += p * weight;
+        weight *= decay_weight;
+    }
+    return difficulty;
+}
+
+double norm(double p, double a, double b) {
+    return std::pow(std::pow(a, p) + std::pow(b, p), 1.0 / p);
+}
+
+}  // namespace modern_common
+
+// ---------------------------------------------------------------------------
+// taiko (2022 rework)
+// ---------------------------------------------------------------------------
+
+namespace modern_taiko {
+
+constexpr int kMaxRepetitionInterval = 16;
+
+struct Note {
+    double time;      // clock-scaled ms
+    int colour;       // 0 don, 1 kat, >=2 non-hit (drumroll/denden)
+    bool is_hit() const { return colour == 0 || colour == 1; }
+};
+
+// colour-encoding structures (ColourDifficultyPreprocessor)
+struct MonoStreak {
+    int first = -1, length = 0, colour = -1;
+    int index_in_pattern = 0;
+    int pattern = -1;  // owning AlternatingMonoPattern
+};
+
+struct AlternatingMonoPattern {
+    std::vector<int> streaks;
+    int index_in_repeating = 0;
+    int repeating = -1;  // owning RepeatingHitPatterns
+    int mono_length(const std::vector<MonoStreak>& s) const {
+        return s[streaks[0]].length;
+    }
+};
+
+struct RepeatingHitPatterns {
+    std::vector<int> patterns;
+    int repetition_interval = kMaxRepetitionInterval + 1;
+};
+
+inline double sigmoid(double val, double center, double width, double middle, double height) {
+    double s = std::tanh(M_E * -(val - center) / width);
+    return s * (height / 2.0) + middle;
+}
+
+struct ColourEncoding {
+    std::vector<MonoStreak> streaks;
+    std::vector<AlternatingMonoPattern> patterns;
+    std::vector<RepeatingHitPatterns> repeatings;
+    // per note: which structure the note HEADS (or -1)
+    std::vector<int> head_streak, head_pattern, head_repeating;
+
+    void build(const std::vector<Note>& notes) {
+        size_t n = notes.size();
+        head_streak.assign(n, -1);
+        head_pattern.assign(n, -1);
+        head_repeating.assign(n, -1);
+
+        // 1. mono streaks: maximal runs of same-colour hits (non-hits break)
+        for (size_t i = 0; i < n; ++i) {
+            if (!notes[i].is_hit()) continue;
+            if (streaks.empty() || streaks.back().colour != notes[i].colour ||
+                (i > 0 && !notes[i - 1].is_hit())) {
+                streaks.push_back({static_cast<int>(i), 1, notes[i].colour, 0, -1});
+            } else {
+                streaks.back().length += 1;
+            }
+        }
+        // fix runs interrupted by non-hits: the loop above only breaks on a
+        // non-hit immediately before; also break when the previous streak's
+        // notes are not contiguous with this hit
+        // (handled by construction: the i-1 check covers it)
+
+        // 2. alternating mono patterns: consecutive streaks of equal length
+        for (size_t s = 0; s < streaks.size(); ++s) {
+            bool fresh = patterns.empty();
+            if (!fresh) {
+                auto& cur = patterns.back();
+                const auto& prev_streak = streaks[cur.streaks.back()];
+                // streaks must be consecutive notes (no non-hit gap) and equal length
+                bool contiguous = prev_streak.first + prev_streak.length == streaks[s].first;
+                fresh = !contiguous || cur.mono_length(streaks) != streaks[s].length;
+            }
+            if (fresh) patterns.push_back({});
+            streaks[s].pattern = static_cast<int>(patterns.size()) - 1;
+            streaks[s].index_in_pattern = static_cast<int>(patterns.back().streaks.size());
+            patterns.back().streaks.push_back(static_cast<int>(s));
+        }
+
+        // 3. repeating hit patterns: grouped by back-and-forth repetition
+        //    (pattern i continues the group when it repeats pattern i-2)
+        for (size_t p = 0; p < patterns.size(); ++p) {
+            bool fresh = repeatings.empty();
+            if (!fresh) {
+                const auto& group = repeatings.back();
+                size_t k = group.patterns.size();
+                fresh = !(k >= 2 &&
+                          patterns[p].mono_length(streaks) ==
+                              patterns[group.patterns[k - 2]].mono_length(streaks));
+                if (k == 1) {
+                    // a second pattern always joins the group (it forms the
+                    // "back" of the back-and-forth)
+                    fresh = false;
+                }
+            }
+            if (fresh) repeatings.push_back({});
+            patterns[p].repeating = static_cast<int>(repeatings.size()) - 1;
+            patterns[p].index_in_repeating =
+                static_cast<int>(repeatings.back().patterns.size());
+            repeatings.back().patterns.push_back(static_cast<int>(p));
+        }
+
+        // 4. repetition intervals between identical repeating groups
+        for (size_t r = 0; r < repeatings.size(); ++r) {
+            repeatings[r].repetition_interval = kMaxRepetitionInterval + 1;
+            int interval = 1;
+            for (int other = static_cast<int>(r) - 1;
+                 other >= 0 && interval < kMaxRepetitionInterval; --other, ++interval) {
+                if (is_repetition(r, other)) {
+                    repeatings[r].repetition_interval = std::max(1, interval);
+                    break;
+                }
+            }
+        }
+
+        // 5. note -> headed structure maps
+        for (const auto& s : streaks) head_streak[s.first] = int(&s - &streaks[0]);
+        for (size_t p = 0; p < patterns.size(); ++p) {
+            int fs = patterns[p].streaks[0];
+            head_pattern[streaks[fs].first] = static_cast<int>(p);
+        }
+        for (size_t r = 0; r < repeatings.size(); ++r) {
+            int fp = repeatings[r].patterns[0];
+            int fs = patterns[fp].streaks[0];
+            head_repeating[streaks[fs].first] = static_cast<int>(r);
+        }
+    }
+
+    bool is_repetition(size_t r, int other) const {
+        const auto& a = repeatings[r];
+        const auto& b = repeatings[other];
+        if (a.patterns.size() != b.patterns.size()) return false;
+        size_t check = std::min<size_t>(a.patterns.size(), 2);
+        for (size_t i = 0; i < check; ++i) {
+            if (patterns[a.patterns[i]].mono_length(streaks) !=
+                patterns[b.patterns[i]].mono_length(streaks))
+                return false;
+        }
+        return true;
+    }
+
+    double evaluate(int note_index) const {
+        double difficulty = 0.0;
+        int s = head_streak[note_index];
+        if (s >= 0) {
+            const auto& streak = streaks[s];
+            const auto& pattern = patterns[streak.pattern];
+            const auto& group = repeatings[pattern.repeating];
+            double pattern_diff = sigmoid(pattern.index_in_repeating, 2, 2, 0.5, 1) *
+                                  2.0 * (1.0 - sigmoid(group.repetition_interval, 2, 2, 0.5, 1));
+            difficulty += sigmoid(streak.index_in_pattern, 2, 2, 0.5, 1) * pattern_diff * 0.5;
+            if (head_pattern[note_index] >= 0) difficulty += pattern_diff;
+            if (head_repeating[note_index] >= 0)
+                difficulty += 2.0 * (1.0 - sigmoid(group.repetition_interval, 2, 2, 0.5, 1));
+        }
+        return difficulty;
+    }
+};
+
+// rhythm-change ratio table (TaikoDifficultyHitObjectRhythm)
+struct RhythmRatio {
+    double ratio, difficulty;
+};
+const RhythmRatio kCommonRhythms[] = {
+    {1.0 / 1.0, 0.0}, {2.0 / 1.0, 0.3}, {1.0 / 2.0, 0.5},
+    {3.0 / 1.0, 0.3}, {1.0 / 3.0, 0.35}, {3.0 / 2.0, 0.6},
+    {2.0 / 3.0, 0.4}, {5.0 / 4.0, 0.5}, {4.0 / 5.0, 0.7},
+};
+
+int closest_rhythm(double delta, double prev_delta) {
+    double ratio = delta / prev_delta;
+    int best = 0;
+    double best_err = 1e18;
+    for (int i = 0; i < 9; ++i) {
+        double err = std::abs(kCommonRhythms[i].ratio - ratio);
+        if (err < best_err) {
+            best_err = err;
+            best = i;
+        }
+    }
+    return best;
+}
+
+double taiko_stars(const std::vector<Note>& notes) {
+    using modern_common::SectionPeaks;
+    using modern_common::norm;
+    using modern_common::weighted_sum;
+
+    size_t n = notes.size();
+    if (n < 3) return 0.0;
+
+    ColourEncoding colours;
+    colours.build(notes);
+
+    // per-note rhythm table (index into kCommonRhythms) and mono history
+    std::vector<int> rhythm(n, 0);
+    for (size_t i = 2; i < n; ++i) {
+        double delta = notes[i].time - notes[i - 1].time;
+        double prev_delta = notes[i - 1].time - notes[i - 2].time;
+        rhythm[i] = prev_delta > 0 ? closest_rhythm(delta, prev_delta) : 0;
+    }
+    // previous same-colour indices (mono history) for the stamina evaluator
+    std::vector<int> prev_mono1(n, -1);  // two same-colour hits back
+    {
+        std::vector<int> history[2];
+        for (size_t i = 0; i < n; ++i) {
+            if (!notes[i].is_hit()) continue;
+            auto& h = history[notes[i].colour];
+            if (h.size() >= 2) prev_mono1[i] = h[h.size() - 2];
+            h.push_back(static_cast<int>(i));
+        }
+    }
+
+    // --- the three skills, processed over objects from index 2 on
+    // Colour: StrainDecaySkill(mult 0.12, decay 0.8)
+    // Stamina: StrainDecaySkill(mult 1.1, decay 0.4)
+    // Rhythm: StrainDecaySkill(mult 10, decay 0) with an internal 0.96 strain
+    SectionPeaks colour_peaks, stamina_peaks, rhythm_peaks;
+    double colour_strain = 0.0, stamina_strain = 0.0;
+    double rhythm_internal = 0.0;
+    int notes_since_rhythm_change = 0;
+    std::vector<int> rhythm_history;  // last 8 note indices with rhythm data
+    double prev_time = notes[1].time;
+
+    auto repetition_penalties = [&](size_t i) {
+        double penalty = 1.0;
+        rhythm_history.push_back(static_cast<int>(i));
+        if (rhythm_history.size() > 8) rhythm_history.erase(rhythm_history.begin());
+        int count = static_cast<int>(rhythm_history.size());
+        for (int most_recent = 2; most_recent <= 4; ++most_recent) {
+            for (int start = count - most_recent - 1; start >= 0; --start) {
+                bool same = true;
+                for (int j = 0; j < most_recent; ++j) {
+                    if (start + j >= count) { same = false; break; }
+                    if (rhythm[rhythm_history[start + j]] !=
+                        rhythm[rhythm_history[count - most_recent + j]]) {
+                        same = false;
+                        break;
+                    }
+                }
+                if (!same) continue;
+                int notes_since = static_cast<int>(i) - rhythm_history[start];
+                penalty *= std::min(1.0, 0.032 * notes_since);
+                break;
+            }
+        }
+        return penalty;
+    };
+
+    for (size_t i = 2; i < n; ++i) {
+        double time = notes[i].time;
+        double delta = time - notes[i - 1].time;
+
+        // colour
+        double colour_value = notes[i].is_hit() ? colours.evaluate(static_cast<int>(i)) : 0.0;
+        double colour_after = colour_strain * std::pow(0.8, delta / 1000.0) + colour_value * 0.12;
+        colour_peaks.step(time, prev_time, colour_after, colour_strain, 0.8);
+        colour_strain = colour_after;
+
+        // stamina
+        double stamina_value = 0.0;
+        if (notes[i].is_hit() && prev_mono1[i] >= 0) {
+            double interval = std::max(time - notes[prev_mono1[i]].time, 50.0);
+            stamina_value = 0.5 + 30.0 / interval;
+        }
+        double stamina_after = stamina_strain * std::pow(0.4, delta / 1000.0) + stamina_value * 1.1;
+        stamina_peaks.step(time, prev_time, stamina_after, stamina_strain, 0.4);
+        stamina_strain = stamina_after;
+
+        // rhythm (decay base 0: the skill strain IS the object value * 10)
+        double rhythm_value = 0.0;
+        if (!notes[i].is_hit()) {
+            rhythm_internal = 0.0;
+            notes_since_rhythm_change = 0;
+        } else {
+            rhythm_internal *= 0.96;
+            notes_since_rhythm_change += 1;
+            double base = kCommonRhythms[rhythm[i]].difficulty;
+            if (base != 0.0) {
+                double speed_penalty;
+                if (delta < 80) {
+                    speed_penalty = 1.0;
+                } else if (delta < 210) {
+                    speed_penalty = std::max(0.0, 1.4 - 0.005 * delta);
+                } else {
+                    rhythm_internal = 0.0;
+                    notes_since_rhythm_change = 0;
+                    speed_penalty = 0.0;
+                }
+                if (speed_penalty > 0.0) {
+                    double object_strain = base;
+                    object_strain *= repetition_penalties(i);
+                    int len = notes_since_rhythm_change;
+                    object_strain *= std::min(std::min(0.15 * len, 1.0),
+                                              std::clamp(2.5 - 0.15 * len, 0.0, 1.0));
+                    object_strain *= speed_penalty;
+                    notes_since_rhythm_change = 0;
+                    rhythm_internal += object_strain;
+                    rhythm_value = rhythm_internal;
+                }
+            }
+        }
+        rhythm_peaks.step(time, prev_time, rhythm_value * 10.0, 0.0, 0.0);
+
+        prev_time = time;
+    }
+
+    // Peaks combination (final_multiplier 0.0625)
+    auto cp = colour_peaks.collect();
+    auto rp = rhythm_peaks.collect();
+    auto sp = stamina_peaks.collect();
+    size_t sections = std::max({cp.size(), rp.size(), sp.size()});
+    cp.resize(sections, 0.0);
+    rp.resize(sections, 0.0);
+    sp.resize(sections, 0.0);
+    std::vector<double> peaks;
+    for (size_t i = 0; i < sections; ++i) {
+        double colour = cp[i] * 0.375 * 0.0625;
+        double rhythm_peak = rp[i] * 0.2 * 0.0625;
+        double stamina = sp[i] * 0.375 * 0.0625;
+        double peak = norm(2.0, norm(1.5, colour, stamina), rhythm_peak);
+        if (peak > 0) peaks.push_back(peak);
+    }
+    double combined = weighted_sum(peaks, 0.9) * 1.35;
+    double sr = combined * 1.4;
+    if (sr <= 0) return 0.0;
+    return 10.43 * std::log(sr / 8.0 + 1.0);
+}
+
+}  // namespace modern_taiko
+
+// ---------------------------------------------------------------------------
+// catch (Movement skill + hyper-dash pre-pass)
+// ---------------------------------------------------------------------------
+
+namespace modern_catch {
+
+constexpr double kNormalizedRadius = 41.0;
+constexpr double kPositioningError = 16.0;
+constexpr double kDirectionChangeBonus = 21.0;
+
+double catch_stars(const std::vector<double>& times, const std::vector<double>& xs,
+                   double cs) {
+    using modern_common::SectionPeaks;
+    using modern_common::weighted_sum;
+
+    size_t n = times.size();
+    if (n < 2) return 0.0;
+
+    // catcher geometry (legacy scale-from-circle-size has a /2;
+    // Catcher.CalculateCatchWidth applies ALLOWED_CATCH_RANGE 0.8)
+    double scale = (1.0 - 0.7 * (cs - 5.0) / 5.0) / 2.0;
+    double catch_width = 106.75 * std::abs(scale) * 0.8;
+    double half_catcher = catch_width / 2.0;
+
+    // hyper-dash pre-pass (CatchBeatmapProcessor.initialiseHyperDash) uses
+    // the catcher half-width WITHOUT the allowed-catch-range reduction;
+    // dash speed is 1 osu!px per ms
+    double hyper_half_catcher = half_catcher / 0.8;
+    std::vector<double> dist_to_hyper(n, 1e9);
+    std::vector<bool> hyper(n, false);
+    {
+        double last_excess = hyper_half_catcher;
+        int last_direction = 0;
+        for (size_t i = 0; i + 1 < n; ++i) {
+            int this_direction = xs[i + 1] > xs[i] ? 1 : -1;
+            double time_to_next = times[i + 1] - times[i] - 1000.0 / 60.0 / 4.0;
+            double dist_to_next =
+                std::abs(xs[i + 1] - xs[i]) -
+                (last_direction == this_direction ? last_excess : hyper_half_catcher);
+            double d = time_to_next - dist_to_next;
+            if (d < 0) {
+                hyper[i] = true;
+                dist_to_hyper[i] = 0.0;
+                last_excess = hyper_half_catcher;
+            } else {
+                dist_to_hyper[i] = d;
+                last_excess = std::clamp(d, 0.0, hyper_half_catcher);
+            }
+            last_direction = this_direction;
+        }
+    }
+
+    // circle sizes above 5.5 reduce the catcher width further to simulate
+    // imperfect gameplay (CatchDifficultyCalculator)
+    double diff_half_catcher = half_catcher * (1.0 - 0.0625 * std::max(0.0, cs - 5.5));
+    double scaling = kNormalizedRadius / diff_half_catcher;
+
+    SectionPeaks peaks(750.0);
+    double strain = 0.0;
+    double player_position = xs[0] * scaling;
+    double last_distance_moved = 0.0;
+    double last_strain_time = 0.0;
+    double prev_time = times[0];
+
+    for (size_t i = 1; i < n; ++i) {
+        double strain_time = std::max(40.0, times[i] - times[i - 1]);
+        double normalized = xs[i] * scaling;
+
+        double target = std::clamp(player_position,
+                                   normalized - (kNormalizedRadius - kPositioningError),
+                                   normalized + (kNormalizedRadius - kPositioningError));
+        double distance_moved = target - player_position;
+        double weighted_time = strain_time + 13.0 + 3.0;  // catcher speed 1
+        double addition = std::pow(std::abs(distance_moved), 1.3) / 510.0;
+        double sqrt_strain = std::sqrt(weighted_time);
+
+        if (std::abs(distance_moved) > 0.1) {
+            if (std::abs(last_distance_moved) > 0.1 &&
+                ((distance_moved > 0) != (last_distance_moved > 0))) {
+                double bonus_factor = std::min(50.0, std::abs(distance_moved)) / 50.0;
+                double antiflow = std::max(std::min(70.0, std::abs(last_distance_moved)) / 70.0, 0.38);
+                addition += kDirectionChangeBonus / std::sqrt(last_strain_time + 16.0) *
+                            bonus_factor * antiflow *
+                            std::max(1.0 - std::pow(weighted_time / 1000.0, 3.0), 0.0);
+            }
+            addition += 12.5 * std::min(std::abs(distance_moved), kNormalizedRadius * 2.0) /
+                        (kNormalizedRadius * 6.0) / sqrt_strain;
+        }
+
+        double edge_dash_bonus = 0.0;
+        if (dist_to_hyper[i - 1] <= 20.0) {
+            if (!hyper[i - 1])
+                edge_dash_bonus += 5.7;
+            else
+                target = normalized;
+            addition *= 1.0 + edge_dash_bonus * ((20.0 - dist_to_hyper[i - 1]) / 20.0) *
+                        std::pow(std::min(strain_time, 265.0) / 265.0, 1.5);
+        }
+
+        player_position = target;
+        last_distance_moved = distance_moved;
+        last_strain_time = strain_time;
+
+        double value = addition / weighted_time;
+        double delta = times[i] - times[i - 1];
+        double after = strain * std::pow(0.2, delta / 1000.0) + value * 900.0;
+        peaks.step(times[i], prev_time, after, strain, 0.2);
+        strain = after;
+        prev_time = times[i];
+    }
+
+    return std::sqrt(weighted_sum(peaks.collect(), 0.94)) * 0.153;
+}
+
+}  // namespace modern_catch
+
+// ---------------------------------------------------------------------------
+// mania (per-column + overall Strain)
+// ---------------------------------------------------------------------------
+
+namespace modern_mania {
+
+double mania_stars(const std::vector<double>& starts, const std::vector<double>& ends,
+                   const std::vector<int>& columns, int key_count) {
+    using modern_common::SectionPeaks;
+    using modern_common::weighted_sum;
+
+    size_t n = starts.size();
+    if (n < 2 || key_count < 1) return 0.0;
+
+    constexpr double individual_decay = 0.125;
+    constexpr double overall_decay = 0.30;
+    constexpr double release_threshold = 24.0;
+
+    auto decay = [](double v, double ms, double base) {
+        return v * std::pow(base, ms / 1000.0);
+    };
+    auto definitely_bigger = [](double a, double b) { return a > b + 1.0; };
+
+    std::vector<double> col_start(key_count, 0.0), col_end(key_count, 0.0);
+    std::vector<double> col_strain(key_count, 0.0);
+    double individual = 0.0, overall = 1.0;
+    double prev_components[2] = {0.0, 1.0};
+
+    SectionPeaks peaks;
+    double prev_time = starts[0];
+
+    for (size_t i = 1; i < n; ++i) {
+        double start = starts[i], end = ends[i];
+        int column = std::clamp(columns[i], 0, key_count - 1);
+        double delta = start - starts[i - 1];
+
+        bool overlapping = false;
+        double closest_end = std::abs(end - start);
+        double hold_factor = 1.0, hold_addition = 0.0;
+        for (int c = 0; c < key_count; ++c) {
+            overlapping |= definitely_bigger(col_end[c], start) && definitely_bigger(end, col_end[c]);
+            if (definitely_bigger(col_end[c], end)) hold_factor = 1.25;
+            closest_end = std::min(closest_end, std::abs(end - col_end[c]));
+        }
+        if (overlapping)
+            hold_addition = 1.0 / (1.0 + std::exp(0.5 * (release_threshold - closest_end)));
+
+        col_strain[column] = decay(col_strain[column], start - col_start[column], individual_decay);
+        col_strain[column] += 2.0 * hold_factor;
+        individual = delta <= 1.0 ? std::max(individual, col_strain[column]) : col_strain[column];
+        overall = decay(overall, delta, overall_decay) + (1.0 + hold_addition) * hold_factor;
+
+        col_start[column] = start;
+        col_end[column] = end;
+
+        double after = individual + overall;
+        // boundary carry: each component decays with its own base
+        // (lazer mania Strain.CalculateInitialStrain); capture the PREVIOUS
+        // object's component values for sections opening before this object
+        double prev_individual = prev_components[0], prev_overall = prev_components[1];
+        peaks.step_with(start, prev_time, after, [&](double gap) {
+            return decay(prev_individual, gap, individual_decay) +
+                   decay(prev_overall, gap, overall_decay);
+        });
+        prev_components[0] = individual;
+        prev_components[1] = overall;
+        prev_time = start;
+    }
+
+    return weighted_sum(peaks.collect(), 0.9) * 0.018;
+}
+
+}  // namespace modern_mania
+
+extern "C" {
+
+double taiko_stars_v2(const double* times, const int32_t* colors, int32_t n, double clock_rate) {
+    std::vector<modern_taiko::Note> notes(n);
+    for (int32_t i = 0; i < n; ++i) notes[i] = {times[i] / clock_rate, colors[i]};
+    return modern_taiko::taiko_stars(notes);
+}
+
+double catch_stars_v2(const double* times, const double* xs, int32_t n, double cs, double clock_rate) {
+    std::vector<double> t(n), x(n);
+    for (int32_t i = 0; i < n; ++i) {
+        t[i] = times[i] / clock_rate;
+        x[i] = xs[i];
+    }
+    return modern_catch::catch_stars(t, x, cs);
+}
+
+double mania_stars_v2(const double* starts, const double* ends, const int32_t* columns,
+                      int32_t n, int32_t key_count, double clock_rate) {
+    std::vector<double> s(n), e(n);
+    std::vector<int> c(n);
+    for (int32_t i = 0; i < n; ++i) {
+        s[i] = starts[i] / clock_rate;
+        e[i] = ends[i] / clock_rate;
+        c[i] = columns[i];
+    }
+    return modern_mania::mania_stars(s, e, c, key_count);
+}
+
+}  // extern "C"
