@@ -406,19 +406,46 @@ def classifier_fid(pairs, classifier_bundle, args) -> dict:
 
 
 def cm3p_fid(pairs, args) -> dict:
-    """CM3P (HF audio-beatmap contrastive model) feature FID (reference:
-    calc_fid.py:579-713). CM3P is an external torch checkpoint distributed on
-    the Hub; gate cleanly when it cannot be fetched (offline)."""
-    try:
-        from transformers import AutoModel
+    """CM3P (audio-beatmap contrastive model) feature FID + self-similarity
+    RMSE (reference: calc_fid.py:579-713). Runs when ``args.cm3p_ckpt``
+    points at a loadable local checkpoint (native or converted torch dual
+    tower — see models/cm3p.py); skips with a clear message otherwise (the
+    published hub checkpoint needs network access)."""
+    from mapperatorinator_tpu.audio.io import load_audio_file
+    from mapperatorinator_tpu.models.cm3p import extract_cm3p_features, load_cm3p
 
-        model = AutoModel.from_pretrained(args.cm3p_ckpt, trust_remote_code=True)
-    except Exception as e:
-        print(f"CM3P checkpoint {args.cm3p_ckpt} unavailable ({e}); skipping fid_cm3p")
+    bundle = load_cm3p(args.cm3p_ckpt)
+    if bundle is None:
         return {}
-    raise NotImplementedError(
-        "CM3P feature extraction requires the fetched CM3P model; rerun online"
-    )
+    _, _, config, vocab = bundle
+    if vocab is None:
+        print(f"CM3P checkpoint {args.cm3p_ckpt} has no tokenizer.json; skipping fid_cm3p")
+        return {}
+
+    real_feats, gen_feats, ssm_errs = [], [], []
+    for real_path, gen_path in pairs:
+        audio_candidates = list(real_path.parents[1].glob("audio.*"))  # ORS layout
+        if not audio_candidates:
+            continue
+        audio = load_audio_file(audio_candidates[0], config.sample_rate)
+        rf = extract_cm3p_features(Beatmap.from_path(real_path), audio, bundle,
+                                   batch_size=args.cm3p_batch_size)
+        gf = extract_cm3p_features(Beatmap.from_path(gen_path), audio, bundle,
+                                   batch_size=args.cm3p_batch_size)
+        if rf.size == 0 or gf.size == 0:
+            continue
+        real_feats.append(rf)
+        gen_feats.append(gf)
+        err = ssm_rmse_for_pair(rf, gf)
+        if err is not None:
+            ssm_errs.append(err)
+    if not real_feats:
+        return {}
+    results = {"fid_cm3p": compute_fid_from_features(np.concatenate(real_feats),
+                                                     np.concatenate(gen_feats))}
+    if ssm_errs:
+        results["ssm_rmse_cm3p"] = float(np.mean(ssm_errs))
+    return results
 
 
 def _generation_worker(chunk, args, gamemode: int, idx: int) -> None:

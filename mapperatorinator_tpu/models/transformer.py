@@ -763,8 +763,11 @@ class Encoder(nn.Module):
     config: TransformerConfig
 
     @nn.compact
-    def __call__(self, features: jnp.ndarray, deterministic: bool = True) -> jnp.ndarray:
-        """features: (B, T, num_mel_bins) -> (B, T(/2 with conv stem), D)."""
+    def __call__(self, features: jnp.ndarray, deterministic: bool = True,
+                 attn_mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+        """features: (B, T, num_mel_bins) -> (B, T(/2 with conv stem), D).
+        ``attn_mask``: optional (B, 1, 1, T) key mask (token towers with
+        padded inputs, e.g. the CM3P beatmap encoder)."""
         cfg = self.config
         x = features.astype(cfg.dtype)
         if cfg.conv_stem and cfg.stem_type == "moonshine":
@@ -816,7 +819,7 @@ class Encoder(nn.Module):
         layer_cls = nn.remat(EncoderLayer, static_argnums=(5,)) if cfg.remat else EncoderLayer
         for i in range(cfg.encoder_layers):
             x = layer_cls(cfg, layer_idx=i, name=f"layers_{i}")(
-                x, positions, None, pos_bias, deterministic
+                x, positions, attn_mask, pos_bias, deterministic
             )
         return Norm(cfg, name="norm")(x)
 

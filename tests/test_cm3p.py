@@ -1,0 +1,221 @@
+"""CM3P feature-extractor tests (VERDICT r2 item 5): random-weight shape/
+numerics for the dual-tower contrastive model, the torch converter, native
+checkpoint IO, and the calc_fid auto-enable/skip gating."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from mapperatorinator_tpu.models.cm3p import (
+    Cm3p,
+    Cm3pConfig,
+    convert_cm3p_state_dict,
+    extract_cm3p_features,
+    load_cm3p,
+    save_cm3p,
+)
+from mapperatorinator_tpu.models.transformer import TransformerConfig
+
+TINY_TOWER = dict(
+    d_model=32, encoder_layers=2, encoder_heads=2, encoder_ffn=64,
+    max_source_positions=64, num_mel_bins=32, conv_stem=False,
+    position_scheme="rope", norm="rms",
+)
+
+
+def _tiny_config():
+    return Cm3pConfig(
+        beatmap_backbone=TransformerConfig(**TINY_TOWER),
+        audio_backbone=TransformerConfig(**TINY_TOWER),
+        vocab_size=128,
+        projection_dim=16,
+        n_mels=16,
+        n_fft=256,
+        hop_length=64,
+        src_seq_len=33,
+        tgt_seq_len=24,
+    )
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    config = _tiny_config()
+    model = Cm3p(config)
+    ids = jnp.ones((3, 24), jnp.int32)
+    frames = jnp.zeros((3, 64 * 32), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), input_ids=ids, frames=frames)
+    return config, model, params
+
+
+def test_forward_shapes_and_normalization(tiny):
+    config, model, params = tiny
+    rng = np.random.default_rng(0)
+    ids = rng.integers(1, config.vocab_size, (3, 24)).astype(np.int32)
+    mask = np.ones((3, 24), np.int32)
+    mask[1, 12:] = 0
+    frames = rng.standard_normal((3, 64 * 32)).astype(np.float32) * 0.1
+
+    out = model.apply(params, jnp.asarray(ids), jnp.asarray(frames),
+                      attention_mask=jnp.asarray(mask), return_loss=True)
+    assert out["beatmap_embeds"].shape == (3, config.projection_dim)
+    assert out["audio_embeds"].shape == (3, config.projection_dim)
+    assert out["logits_per_beatmap"].shape == (3, 3)
+    np.testing.assert_allclose(np.linalg.norm(out["beatmap_embeds"], axis=-1), 1.0, atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(out["audio_embeds"], axis=-1), 1.0, atol=1e-5)
+    assert np.isfinite(float(out["loss"]))
+
+    # mask-aware pooling: padding tokens must not change the embedding
+    ids2 = ids.copy()
+    ids2[1, 12:] = 0
+    out2 = model.apply(params, jnp.asarray(ids2), jnp.asarray(frames),
+                       attention_mask=jnp.asarray(mask))
+    np.testing.assert_allclose(
+        np.asarray(out["beatmap_embeds"][1]), np.asarray(out2["beatmap_embeds"][1]), atol=1e-5
+    )
+
+
+def _torch_style_state_dict(config, rng):
+    """Random torch-layout dual-tower checkpoint matching the converter's
+    documented naming."""
+    d = config.beatmap_backbone.d_model
+    ffn = config.beatmap_backbone.encoder_ffn
+    sd = {
+        "beatmap_embedder.weight": rng.standard_normal((config.vocab_size, d)).astype(np.float32),
+        "audio_embedder.weight": rng.standard_normal((d, config.n_mels)).astype(np.float32),
+        "audio_embedder.bias": rng.standard_normal(d).astype(np.float32),
+        "beatmap_projection.weight": rng.standard_normal((config.projection_dim, d)).astype(np.float32),
+        "audio_projection.weight": rng.standard_normal((config.projection_dim, d)).astype(np.float32),
+        "logit_scale": np.float32(2.0),
+    }
+    for tower in ("beatmap_encoder", "audio_encoder"):
+        sd[f"{tower}.layer_norm.weight"] = rng.standard_normal(d).astype(np.float32)
+        for i in range(config.beatmap_backbone.encoder_layers):
+            p = f"{tower}.layers.{i}"
+            for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+                sd[f"{p}.self_attn.{proj}.weight"] = rng.standard_normal((d, d)).astype(np.float32)
+                if proj != "k_proj":
+                    sd[f"{p}.self_attn.{proj}.bias"] = rng.standard_normal(d).astype(np.float32)
+            sd[f"{p}.self_attn_layer_norm.weight"] = rng.standard_normal(d).astype(np.float32)
+            sd[f"{p}.final_layer_norm.weight"] = rng.standard_normal(d).astype(np.float32)
+            sd[f"{p}.fc1.weight"] = rng.standard_normal((ffn, d)).astype(np.float32)
+            sd[f"{p}.fc1.bias"] = rng.standard_normal(ffn).astype(np.float32)
+            sd[f"{p}.fc2.weight"] = rng.standard_normal((d, ffn)).astype(np.float32)
+            sd[f"{p}.fc2.bias"] = rng.standard_normal(d).astype(np.float32)
+    return sd
+
+
+def test_torch_converter_maps_all_keys(tiny):
+    config, model, init_params = tiny
+    rng = np.random.default_rng(1)
+    sd = _torch_style_state_dict(config, rng)
+    params = {"params": convert_cm3p_state_dict(dict(sd), config)}
+
+    # converted tree must structurally match the model's own init
+    flat_init = jax.tree_util.tree_structure(init_params)
+    flat_conv = jax.tree_util.tree_structure(
+        jax.tree_util.tree_map(np.asarray, params)
+    )
+    assert flat_init == flat_conv
+
+    # spot-check weight orientation: torch Linear (out,in) -> flax (in,out)
+    np.testing.assert_array_equal(
+        params["params"]["audio_embedder"]["kernel"], sd["audio_embedder.weight"].T
+    )
+    np.testing.assert_array_equal(
+        params["params"]["beatmap_embedder"]["embedding"], sd["beatmap_embedder.weight"]
+    )
+
+    # a forward pass runs on the converted weights
+    out = model.apply(params, jnp.ones((1, 8), jnp.int32),
+                      jnp.zeros((1, 64 * 32), jnp.float32))
+    assert np.isfinite(np.asarray(out["beatmap_embeds"])).all()
+
+    # leftover keys must raise loudly
+    sd_extra = dict(sd)
+    sd_extra["mystery.weight"] = np.zeros(3, np.float32)
+    with pytest.raises(ValueError, match="unconverted"):
+        convert_cm3p_state_dict(sd_extra, config)
+
+
+def test_native_io_roundtrip(tiny, tmp_path):
+    config, model, params = tiny
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.osu.vocab import build_vocabulary
+
+    args = compose("/root/repo/configs/train", "v32", schema_cls=schema.TrainConfig)
+    args.data.dataset_type = "none"
+    args.data.mappers_path = ""
+    args.data.tags_metadata_path = ""
+    vocab = build_vocabulary(args)
+
+    save_cm3p(tmp_path / "cm3p", config, params, vocab)
+    bundle = load_cm3p(tmp_path / "cm3p")
+    assert bundle is not None
+    model2, params2, config2, vocab2 = bundle
+    assert config2 == config
+    assert vocab2 is not None
+
+    ids = jnp.ones((2, 12), jnp.int32)
+    frames = jnp.zeros((2, 64 * 32), jnp.float32)
+    a = model.apply(params, ids, frames)["beatmap_embeds"]
+    b = model2.apply(params2, ids, frames)["beatmap_embeds"]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_load_missing_checkpoint_skips(tmp_path, capsys):
+    assert load_cm3p(tmp_path / "nope") is None
+    assert "skipping fid_cm3p" in capsys.readouterr().out
+
+
+def test_extract_features_and_calc_fid_integration(tmp_path):
+    """End-to-end: tiny CM3P checkpoint + ORS fixture pair -> fid_cm3p and
+    ssm_rmse_cm3p in the harness output (reference: calc_fid.py:579-713)."""
+    from tests.test_beatmap import SIMPLE_OSU
+    from tests.fixtures.tiny_checkpoint import make_wav
+
+    import calc_fid
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.osu import Beatmap
+    from mapperatorinator_tpu.osu.vocab import build_vocabulary
+
+    # vocab-compatible tiny model
+    targs = compose("/root/repo/configs/train", "v32", schema_cls=schema.TrainConfig)
+    targs.data.dataset_type = "none"
+    targs.data.mappers_path = ""
+    targs.data.tags_metadata_path = ""
+    vocab = build_vocabulary(targs)
+    config = _tiny_config()
+    config = Cm3pConfig(**{**config.__dict__, "vocab_size": vocab.vocab_size_in})
+    model = Cm3p(config)
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=jnp.ones((1, 8), jnp.int32),
+                        frames=jnp.zeros((1, 64 * 32), jnp.float32))
+    ckpt = save_cm3p(tmp_path / "cm3p", config, params, vocab)
+
+    # ORS-layout pair: Track/beatmaps/real.osu + generated copy
+    track = tmp_path / "Track00000"
+    (track / "beatmaps").mkdir(parents=True)
+    real = track / "beatmaps" / "real.osu"
+    real.write_text(SIMPLE_OSU)
+    make_wav(track / "audio.wav", seconds=6.0)
+    gen = tmp_path / "generated.osu"
+    gen.write_text(SIMPLE_OSU.replace("256,192,1000,5,0", "200,100,1100,5,0"))
+
+    fid_args = compose("/root/repo/configs", "calc_fid", schema_cls=schema.FidConfig)
+    fid_args.cm3p_ckpt = str(ckpt)
+    fid_args.cm3p_batch_size = 4
+
+    results = calc_fid.cm3p_fid([(real, gen)], fid_args)
+    assert "fid_cm3p" in results and np.isfinite(results["fid_cm3p"])
+    assert "ssm_rmse_cm3p" in results and np.isfinite(results["ssm_rmse_cm3p"])
+
+    # direct extraction: one embedding per window
+    from mapperatorinator_tpu.audio.io import load_audio_file
+
+    bundle = load_cm3p(ckpt)
+    audio = load_audio_file(track / "audio.wav", config.sample_rate)
+    feats = extract_cm3p_features(Beatmap.from_path(real), audio, bundle, batch_size=4)
+    assert feats.ndim == 2 and feats.shape[1] == config.projection_dim
+    assert feats.shape[0] >= 2
