@@ -1,0 +1,91 @@
+"""Held-out eval harness tests (VERDICT r2 item 8): ``python test.py`` —
+per-context metrics, timing-precision histogram, accuracy-over-window bins,
+rhythm-complexity bins (reference: osuT5/test.py:30-258)."""
+
+import json
+import wave
+
+import numpy as np
+import pytest
+
+from tests.fixtures.tiny_checkpoint import SRC_SEQ_LEN, TGT_SEQ_LEN, make_tiny_checkpoint
+from tests.test_data import OSU_TEMPLATE
+
+
+def _make_ors(root, n_maps=2):
+    rng = np.random.default_rng(0)
+    sr = 16000
+    track = root / "Track00000"
+    (track / "beatmaps").mkdir(parents=True)
+    t = np.arange(sr * 6) / sr
+    x = (0.4 * np.sin(2 * np.pi * 220 * t) * 32767).astype("<i2")
+    with wave.open(str(track / "audio.wav"), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(sr)
+        w.writeframes(x.tobytes())
+    metadata = {"Beatmaps": {}}
+    for bm_i in range(n_maps):
+        name = f"map{bm_i}"
+        objects = "\n".join(
+            f"{int(rng.integers(50, 450))},{int(rng.integers(50, 330))},{500 + k * 300},1,0,0:0:0:0:"
+            for k in range(12)
+        )
+        (track / "beatmaps" / f"{name}.osu").write_text(
+            OSU_TEMPLATE.format(i=bm_i, bid=bm_i, objects=objects)
+        )
+        metadata["Beatmaps"][name] = {
+            "BeatmapId": bm_i,
+            "Index": bm_i,
+            "StandardStarRating": {"0": 3.0, "64": 4.0},
+            "RankedYear": 2018,
+        }
+    (track / "metadata.json").write_text(json.dumps(metadata))
+    return root
+
+
+@pytest.mark.slow
+def test_heldout_eval_harness_end_to_end(tmp_path, monkeypatch):
+    import test as eval_harness
+
+    ckpt = make_tiny_checkpoint(tmp_path / "ckpt")
+    dataset = _make_ors(tmp_path / "ors")
+    monkeypatch.chdir(tmp_path)
+
+    results = eval_harness.main([
+        "-cn", "v32",
+        f"checkpoint_path={ckpt}",
+        "data.dataset_type=ors",
+        f"data.train_dataset_path={dataset}",
+        f"data.test_dataset_path={dataset}",
+        "data.train_dataset_start=0", "data.train_dataset_end=1",
+        "data.test_dataset_start=0", "data.test_dataset_end=1",
+        f"data.src_seq_len={SRC_SEQ_LEN}",
+        f"data.tgt_seq_len={TGT_SEQ_LEN}",
+        "data.mappers_path=", "data.tags_metadata_path=",
+        "optim.batch_size=2",
+        "eval.steps=2", "optim.grad_acc=1",
+        "dataloader.num_workers=0",
+    ])
+
+    # both passes ran (noise + clean timing, reference test.py:252-256)
+    assert set(results) == {"test_noise", "test"}
+    for prefix, result in results.items():
+        stats = result["stats"]
+        assert any(k.endswith("loss") for k in stats), stats
+        assert any("timing_acc" in k or "acc" in k for k in stats)
+        assert result["analysis"], "no analysis tables"
+        for tables in result["analysis"].values():
+            tp = tables["timing_precision"]
+            assert len(tp["offset_steps"]) == 7  # -3..+3
+            accs = [a for a in tp["acc"] if a is not None and np.isfinite(a)]
+            assert accs, "timing precision histogram empty"
+            at = tables["acc_over_time"]
+            assert len(at["acc"]) == 100
+            assert any(a is not None and np.isfinite(a) for a in at["acc"])
+            rc = tables["timing_acc_over_rhythm_complexity"]
+            assert len(rc["acc"]) == 20
+
+    # the JSON artifact exists and round-trips
+    saved = json.loads((tmp_path / "test_results.json").read_text())
+    assert set(saved) == {"test_noise", "test"}
