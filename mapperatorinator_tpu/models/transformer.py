@@ -368,7 +368,20 @@ class QDense(nn.Module):
 def quantize_params(params, bits: int = 8):
     """fp param tree -> int8 weight-only tree for quantized_weights=True
     models: every 2-D ``kernel`` becomes ``kernel_q`` (int8) + per-output-
-    channel ``scale``; everything else passes through."""
+    channel ``scale``; everything else passes through.
+
+    PERFORMANCE WARNING: on current XLA/TPU the per-step dequantize does not
+    fuse into the decode matmuls, making the real decode loop ~10x SLOWER
+    than bf16 (measured on v5e, PERF.md "int8 weight-only decode"). The bf16
+    path is the production one; this exists for memory-bound experimentation
+    only, hence no inference preset exposes it."""
+    import warnings
+
+    warnings.warn(
+        "int8 weight-only decode is ~10x slower than bf16 on current XLA/TPU "
+        "(unfused dequantize in the decode loop); use bf16 for production",
+        stacklevel=2,
+    )
     import flax
     import numpy as np
 

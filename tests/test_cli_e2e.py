@@ -22,6 +22,7 @@ from tests.fixtures.tiny_checkpoint import (
 @pytest.mark.parametrize("gamemode,extra", [
     (0, []),
     (1, []),              # taiko: drumroll/denden rendering
+    (2, []),              # catch: std-style objects on the catch playfield
     (3, ["keycount=4"]),  # mania: column tokens + hold-note rendering
 ])
 def test_inference_cli_end_to_end(tmp_path, gamemode, extra):
