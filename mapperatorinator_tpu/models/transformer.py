@@ -93,8 +93,9 @@ class TransformerConfig:
     # single-step cached decode attends over only the live cache prefix,
     # bucketed to this many slots (lax.switch over static lengths); cache
     # HBM reads bound long decodes (measured: batch8 x 2560 buffer caps at
-    # ~1.4k tok/s with full reads). 0 disables.
-    decode_attend_bucket: int = 512
+    # ~1.4k tok/s with full reads). 256 measured best on v5e (1976 tok/s vs
+    # 1922 @512, 1963 @128, batch8 full window). 0 disables.
+    decode_attend_bucket: int = 256
     attention_bias: bool = True
     attention_scale: bool = True  # T5 omits the 1/sqrt(d) scale
     mlp_bias: bool = True  # T5 feed-forward projections carry no biases

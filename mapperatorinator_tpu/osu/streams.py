@@ -261,7 +261,9 @@ def get_groups(
     if group.event_type is not None:
         groups.append(group)
         group_indices.append(indices)
-    elif len(indices) > 0:
+    elif len(indices) > 0 and group_indices:
+        # trailing events without a type attach to the last group; a stream
+        # with no groups at all (degenerate model output) yields none
         group_indices[-1].extend(indices)
 
     return groups, group_indices
