@@ -219,3 +219,40 @@ def test_extract_features_and_calc_fid_integration(tmp_path):
     feats = extract_cm3p_features(Beatmap.from_path(real), audio, bundle, batch_size=4)
     assert feats.ndim == 2 and feats.shape[1] == config.projection_dim
     assert feats.shape[0] >= 2
+
+
+def test_plot_self_similarity_cm3p_path(tmp_path, monkeypatch):
+    """The SSM plot utility runs on a local CM3P checkpoint (reference:
+    utils/plot_cm3p_self_similarity.py)."""
+    from tests.fixtures.tiny_checkpoint import make_wav
+    from tests.test_beatmap import SIMPLE_OSU
+
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.osu.vocab import build_vocabulary
+
+    targs = compose("/root/repo/configs/train", "v32", schema_cls=schema.TrainConfig)
+    targs.data.dataset_type = "none"
+    targs.data.mappers_path = ""
+    targs.data.tags_metadata_path = ""
+    vocab = build_vocabulary(targs)
+    config = _tiny_config()
+    config = Cm3pConfig(**{**config.__dict__, "vocab_size": vocab.vocab_size_in})
+    model = Cm3p(config)
+    params = model.init(jax.random.PRNGKey(0),
+                        input_ids=jnp.ones((1, 8), jnp.int32),
+                        frames=jnp.zeros((1, 64 * 32), jnp.float32))
+    ckpt = save_cm3p(tmp_path / "cm3p", config, params, vocab)
+
+    real = tmp_path / "real.osu"
+    real.write_text(SIMPLE_OSU)
+    gen = tmp_path / "gen.osu"
+    gen.write_text(SIMPLE_OSU.replace("256,192,1000,5,0", "200,100,1100,5,0"))
+    wav = make_wav(tmp_path / "song.wav", seconds=6.0)
+    out = tmp_path / "ssm.png"
+
+    import importlib
+
+    plot = importlib.import_module("utils.plot_self_similarity")
+    rmse = plot.main([str(real), str(gen), str(wav), "--cm3p", str(ckpt), "-o", str(out)])
+    assert np.isfinite(rmse)
+    assert out.exists()
