@@ -22,6 +22,7 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import sys
 import time
 import warnings
 
@@ -509,10 +510,15 @@ def train_step_metrics(on_tpu: bool) -> dict:
     args.data.tags_metadata_path = ""
     args.data.dataset_type = "none"
     if on_tpu:
-        batch = 32  # reference trains batch 32 (v32.yaml:96-105)
+        # the reference trains batch 32 x grad_acc 2 on a 24 GB 4090
+        # (v32.yaml:96-105); one 16 GB v5e OOMs at 32 even with remat
+        # (measured: 16.7 GB needed), so fall down the ladder and report
+        # the batch that fits
+        batch_ladder = [32, 16, 8]
         args.parallel.remat = True
         args.precision = "bf16"
     else:
+        batch_ladder = [2]
         batch = 2
         args.data.src_seq_len = 256
         args.data.tgt_seq_len = 192
@@ -528,23 +534,38 @@ def train_step_metrics(on_tpu: bool) -> dict:
     model = Mapperatorinator(build_config(args, vocab))
     rng = np.random.default_rng(0)
     tgt = args.data.tgt_seq_len
-    batch_data = {
-        "frames": rng.standard_normal((batch, HOP * (args.data.src_seq_len - 1))).astype(np.float32),
-        "decoder_input_ids": rng.integers(3, vocab.vocab_size_in, (batch, tgt)).astype(np.int32),
-        "decoder_attention_mask": np.ones((batch, tgt), np.int32),
-        "labels": rng.integers(3, vocab.vocab_size_out, (batch, tgt)).astype(np.int32),
-    }
+
+    def make_batch(batch):
+        return {
+            "frames": rng.standard_normal((batch, HOP * (args.data.src_seq_len - 1))).astype(np.float32),
+            "decoder_input_ids": rng.integers(3, vocab.vocab_size_in, (batch, tgt)).astype(np.int32),
+            "decoder_attention_mask": np.ones((batch, tgt), np.int32),
+            "labels": rng.integers(3, vocab.vocab_size_out, (batch, tgt)).astype(np.int32),
+        }
+
     params = model.init(
         jax.random.PRNGKey(0),
-        frames=jnp.asarray(batch_data["frames"][:1]),
-        decoder_input_ids=jnp.asarray(batch_data["decoder_input_ids"][:1, :8]),
+        frames=jnp.zeros((1, HOP * (args.data.src_seq_len - 1)), jnp.float32),
+        decoder_input_ids=jnp.ones((1, 8), jnp.int32),
     )
     tx = build_optimizer(args, num_processes=1)
     state = init_train_state(params, tx)
     step_fn = make_train_step(model, tx)
 
-    state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(1))
-    _ = float(metrics["loss"])  # real host sync (block_until_ready is unreliable here)
+    batch = None
+    for candidate in batch_ladder:
+        try:
+            batch_data = make_batch(candidate)
+            state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(1))
+            _ = float(metrics["loss"])  # real host sync (block_until_ready is unreliable here)
+            batch = candidate
+            break
+        except Exception as e:  # XLA compile OOM surfaces as a runtime error
+            if "memory" not in str(e).lower() and "RESOURCE" not in str(e):
+                raise
+            print(f"train bench: batch {candidate} OOM, trying smaller", file=sys.stderr)
+    if batch is None:
+        return {"train_seconds_per_step": None, "train_batch_size": None, "train_mfu": None}
 
     n_steps = 3
     t0 = time.perf_counter()
