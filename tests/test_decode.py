@@ -318,3 +318,28 @@ def test_sampled_path_distribution_matches_hf_processed_softmax(tiny):
     assert tv < 0.05, f"total variation {tv:.4f} vs processed softmax"
     # nothing outside the top-k/top-p support may ever be drawn
     assert counts[hf_probs == 0].sum() == 0
+
+
+def test_data_parallel_sharded_decode_matches_single_device(tiny):
+    """Multi-chip batch-parallel serving: sharding the encoder states over a
+    data mesh makes GSPMD partition the whole compiled decode loop (KV cache
+    included) across devices, token-identically to the single-device run.
+    This is the scale-out shape for offline generation fleets — each chip
+    decodes its slice of the window batch with zero code changes."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    cfg, model, params, feats1 = tiny
+    engine = DecodeEngine(model, params, max_length=32, pad_token_id=0)
+    pipeline = make_pipeline(do_sample=False)
+    n = len(jax.devices())
+    assert n >= 2, "virtual device mesh missing (conftest sets 8)"
+    prompt = np.ones((n, 1), np.int32)
+    feats = jnp.repeat(feats1, n, 0) + jax.random.normal(jax.random.PRNGKey(2), (n,) + feats1.shape[1:]) * 0.1
+
+    enc = engine.encode(feats)
+    ref = np.asarray(engine.generate(enc, prompt, pipeline, eos_ids=[EOS], seed=0)[0])
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(n), ("data",))
+    enc_sharded = jax.device_put(enc, NamedSharding(mesh, P("data")))
+    out = np.asarray(engine.generate(enc_sharded, prompt, pipeline, eos_ids=[EOS], seed=0)[0])
+    assert np.array_equal(out, ref)
