@@ -448,10 +448,18 @@ def cm3p_fid(pairs, args) -> dict:
     return results
 
 
-def _generation_worker(chunk, args, gamemode: int, idx: int) -> None:
+def _generation_worker(chunk, args, gamemode: int, idx: int, platform: str = "") -> None:
     """One fan-out worker: loads the (gamemode-resolved) model and
     regenerates its chunk (reference: calc_fid.py:496-578). Results land in
-    <dataset>/generated/<stem>.osu, so workers are restart-safe."""
+    <dataset>/generated/<stem>.osu, so workers are restart-safe.
+
+    ``platform`` pins the worker's jax backend to the parent's choice —
+    spawn starts a fresh interpreter whose platform default may differ from
+    a parent that re-pinned (e.g. CPU-forced test runs)."""
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
     from inference import load_model
 
     args.inference.gamemode = gamemode
@@ -476,9 +484,12 @@ def _fan_out_generation(paths_by_gm: dict, args) -> None:
         if args.num_processes <= 0:
             _generation_worker(chunks[0], args, gm, 0)
             continue
+        import jax
+
+        platform = jax.default_backend()
         ctx = multiprocessing.get_context("spawn")
         procs = [
-            ctx.Process(target=_generation_worker, args=(chunk, args, gm, i))
+            ctx.Process(target=_generation_worker, args=(chunk, args, gm, i, platform))
             for i, chunk in enumerate(chunks) if chunk
         ]
         for proc in procs:
