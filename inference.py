@@ -51,11 +51,24 @@ def get_default_logger():
 def compile_device_and_seed(args, verbose=True) -> None:
     import jax
 
+    if args.device == "cpu":
+        # honor an explicit CPU request (reference: inference.py device=
+        # moves the model) even on accelerator hosts; only possible before
+        # the backend initializes. Accelerator names stay best-effort — the
+        # schema default is "tpu" and must not error on CPU-only hosts.
+        try:
+            if jax.config.jax_platforms != "cpu":
+                jax.config.update("jax_platforms", "cpu")
+        except Exception:
+            pass
+
     platform = jax.devices()[0].platform
     if args.device == "auto":
         args.device = platform
         if verbose:
             print(f"Using {platform} for inference (auto-selected).")
+    elif args.device == "cpu" and platform != "cpu" and verbose:
+        print(f"Requested device=cpu but the {platform} backend is already active.")
     if args.seed is None:
         args.seed = random.randint(0, 2**16)
         if verbose:
