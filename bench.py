@@ -116,9 +116,14 @@ def decode_tok_s(engine, vocab, batch, src_len, gen_tokens, seed0=0):
     return total / elapsed
 
 
-def e2e_3min_seconds(on_tpu: bool) -> float:
+def e2e_3min_seconds(on_tpu: bool, parallel: bool = False) -> float:
     """Full pipeline wall time: synthesized 3-min WAV -> timing pass ->
-    sequential MAP/SV decode -> postprocess -> .osu (inference.generate)."""
+    MAP/SV decode -> postprocess -> .osu (inference.generate).
+
+    ``parallel=True`` measures the TPU-first execution shape: every window
+    decodes in one batched pass (no lookback carry, reference "parallel
+    mode" processor.py:370-419) instead of the default sequential
+    window-by-window decode with lookback prompts."""
     import sys
     import tempfile
     from pathlib import Path
@@ -135,6 +140,7 @@ def e2e_3min_seconds(on_tpu: bool) -> float:
     wav = make_wav(tmp / "song.wav", seconds=song_seconds)
 
     args = compose("configs/inference", "v32", schema_cls=schema.InferenceConfig)
+    args.parallel = parallel
     if on_tpu:
         # full v32 encoder window; decode budget capped per window (see module
         # docstring) — vocab layout depends on the src window, not tgt
@@ -183,8 +189,11 @@ def e2e_3min_seconds(on_tpu: bool) -> float:
             args.output_type = [ContextType.MAP, ContextType.SV]
             return inference.generate(args, audio_path=str(audio), output_path=str(tmp), **common)
 
-    # warmup: compile the prompt buckets on a short clip
-    run_once(wav_warm)
+    # warmup: compile the prompt buckets. Sequential mode reuses the same
+    # batch-1 program for any song length, so a short clip suffices;
+    # parallel mode batches all windows at once, so warm with the real song
+    # to compile its chunk bucket (power-of-2 padded, reused across songs)
+    run_once(wav if parallel else wav_warm)
 
     t0 = time.perf_counter()
     _, result_path = run_once(wav)
@@ -613,6 +622,7 @@ def main() -> None:
     del engine
 
     e2e = e2e_3min_seconds(on_tpu)          # BASELINE config #2
+    e2e_parallel = e2e_3min_seconds(on_tpu, parallel=True)  # TPU-first shape
     dit_secs = dit_refine_seconds(on_tpu)   # BASELINE config #3
     gm_secs = all_gamemodes_super_timing_seconds(on_tpu)  # config #4
     mm_secs = multi_model_pass_seconds(on_tpu)            # config #5
@@ -630,6 +640,7 @@ def main() -> None:
                 "vs_baseline": None,
                 "extra": {
                     "e2e_3min_seconds": round(e2e, 2),
+                    "e2e_3min_parallel_mode_seconds": round(e2e_parallel, 2),
                     "dit_ddim_refine_3min_seconds": round(dit_secs, 2),
                     "e2e_plus_dit_seconds": round(combined, 2),
                     "decode_tok_s_batch1": round(tok_s_b1, 1),

@@ -550,7 +550,12 @@ class Processor:
         return state
 
     def run_parallel_sessions(self, sessions: list[dict], verbose: bool = True) -> None:
-        """Decode every window of every open session in shared batches."""
+        """Decode every window of every open session in shared batches.
+
+        Chunks are padded up to the next power of two (capped at the
+        effective max batch) by repeating the final window, so the compiled
+        decode program is reused across songs of any window count instead of
+        recompiling for every remainder size; padded rows are discarded."""
         flat = [(state, window) for state in sessions for window in state["windows"]]
         if not flat:
             return
@@ -567,13 +572,24 @@ class Processor:
             batches = tqdm(batches, dynamic_ncols=True)
         for b in batches:
             chunk = flat[b : b + max_batch_size]
-            frames_batch = np.stack([w["frames"] for _, w in chunk])
-            cond_batch = cond_prompt[b : b + max_batch_size]
-            uncond_batch = uncond_prompt[b : b + max_batch_size] if uncond_prompt is not None else None
-            kw_batch = {k: np.concatenate([w["kwargs"][k] for _, w in chunk], axis=0) for k in kw_keys}
+            n = len(chunk)
+            bucket = min(1 << (n - 1).bit_length(), max_batch_size)
+            pad = bucket - n
+
+            def padded(rows: np.ndarray) -> np.ndarray:
+                if pad == 0:
+                    return rows
+                return np.concatenate([rows, np.repeat(rows[-1:], pad, axis=0)], axis=0)
+
+            frames_batch = padded(np.stack([w["frames"] for _, w in chunk]))
+            cond_batch = padded(cond_prompt[b : b + n])
+            uncond_batch = padded(uncond_prompt[b : b + n]) if uncond_prompt is not None else None
+            kw_batch = {
+                k: padded(np.concatenate([w["kwargs"][k] for _, w in chunk], axis=0)) for k in kw_keys
+            }
             result = self.model_generate(frames_batch, cond_batch, uncond_batch, kw_batch)
 
-            for (state, window), row in zip(chunk, result):
+            for (state, window), row in zip(chunk, result[:n]):
                 self.consume_parallel_row(state, window["frame_time"], row)
 
     def consume_parallel_row(self, state: dict, frame_time: int, row: np.ndarray) -> None:
