@@ -447,6 +447,12 @@ def load_model(args, auto_select_gamemode_model: Optional[bool] = None):
         params = merge_lora(params, lora_params, alpha=lora_config.get("lora_alpha", 128.0))
         print(f"Loaded LoRA weights from {lora_path}")
 
+    if getattr(args, "quantized_weights", False):
+        from mapperatorinator_tpu.models.io import quantize_checkpoint
+
+        model, params = quantize_checkpoint(model, params)
+        print("Quantized decode weights to int8 (weight-only, fused qmm kernel)")
+
     engine = DecodeEngine(model, params, max_length=args.train.data.tgt_seq_len, pad_token_id=vocab.pad_id)
     return engine, vocab
 

@@ -492,6 +492,9 @@ class InferenceConfig:
     seed: Optional[int] = None
     device: str = "auto"
     precision: str = "fp32"
+    # TPU extension (no reference equivalent): int8 weight-only decode via the
+    # fused Pallas qmm kernel — halves weight HBM at bf16-parity speed (PERF.md)
+    quantized_weights: bool = False
     attn_implementation: str = "auto"
     add_to_beatmap: bool = False
     overwrite_reference_beatmap: bool = False

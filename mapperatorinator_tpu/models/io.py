@@ -37,6 +37,36 @@ def _config_from_dict(d: dict) -> MapperatorinatorConfig:
     return MapperatorinatorConfig(backbone=backbone, **rest)
 
 
+def quantize_checkpoint(model: Mapperatorinator, params, bits: int = 8):
+    """Rebuild ``model`` with int8 weight-only decode (QDense routed through
+    the fused Pallas qmm kernel) and convert ``params`` to match.
+
+    Structure-driven: only kernels the quantized architecture actually
+    expects become int8 (the backbone's dense_cls sites) — conditioning
+    embedders and family-specific plain-Dense layers (e.g. the moonshine
+    gated MLP) pass through untouched. Returns ``(qmodel, qparams)``.
+    """
+    import flax.traverse_util
+    import jax
+
+    from .transformer import quantize_params
+
+    cfg = dataclasses.replace(
+        model.config,
+        backbone=dataclasses.replace(model.config.backbone, quantized_weights=True),
+    )
+    qmodel = Mapperatorinator(cfg)
+    shapes = jax.eval_shape(
+        lambda: qmodel.init(
+            jax.random.PRNGKey(0),
+            frames=jnp.zeros((1, cfg.hop_length * 15), jnp.float32),
+            decoder_input_ids=jnp.ones((1, 4), jnp.int32),
+        )
+    )
+    expected = set(flax.traverse_util.flatten_dict(shapes, sep="/"))
+    return qmodel, quantize_params(params, bits, expected)
+
+
 def save_checkpoint(
     directory: Union[str, Path],
     config: MapperatorinatorConfig,

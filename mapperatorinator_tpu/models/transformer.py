@@ -343,9 +343,15 @@ def dynamic_ntk_theta(theta: float, head_dim: int, seq_len: int, max_positions: 
 class QDense(nn.Module):
     """Weight-only int8 dense: y = (x @ int8_kernel) * per-channel scale.
 
-    XLA fuses the int8->compute-dtype convert into the matmul's operand read,
-    so only int8 weights cross HBM — the bound resource in batch-1 decode.
-    Populate params with :func:`quantize_params` from a trained fp tree.
+    Routed through the fused Pallas kernel (`ops/qmm_kernel.py`) whenever the
+    shape tiles: the int8 block is upcast in VMEM after crossing HBM, so only
+    int8 weight bytes stream — halving the weight footprint vs bf16. (The
+    plain XLA expression materializes the dequantized kernel inside the
+    decode loop, ~10x slower; kept only as the fallback for non-tileable
+    shapes.) Populate params with :func:`quantize_params` from a trained fp
+    tree. Measured on v5e the fused path decodes at parity with bf16 (~5%
+    faster in a layer-chain probe — batch-1 decode is latency-bound, so the
+    win is memory, not speed; PERF.md "int8 weight-only decode").
     """
 
     features: int
@@ -355,34 +361,41 @@ class QDense(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from ..ops.qmm_kernel import qmm, qmm_supported
+
+        k = x.shape[-1]
         kernel_q = self.param(
-            "kernel_q", nn.initializers.zeros, (x.shape[-1], self.features), jnp.int8
+            "kernel_q", nn.initializers.zeros, (k, self.features), jnp.int8
         )
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
-        y = (x.astype(self.dtype) @ kernel_q.astype(self.dtype)) * scale.astype(self.dtype)
+        if qmm_supported(k, self.features):
+            lead = x.shape[:-1]
+            y = qmm(x.astype(self.dtype).reshape(-1, k), kernel_q, scale)
+            y = y.reshape(*lead, self.features)
+        else:
+            y = (x.astype(self.dtype) @ kernel_q.astype(self.dtype)) * scale.astype(self.dtype)
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)
         return y
 
 
-def quantize_params(params, bits: int = 8):
+def quantize_params(params, bits: int = 8, expected=None):
     """fp param tree -> int8 weight-only tree for quantized_weights=True
     models: every 2-D ``kernel`` becomes ``kernel_q`` (int8) + per-output-
     channel ``scale``; everything else passes through.
 
-    PERFORMANCE WARNING: on current XLA/TPU the per-step dequantize does not
-    fuse into the decode matmuls, making the real decode loop ~10x SLOWER
-    than bf16 (measured on v5e, PERF.md "int8 weight-only decode"). The bf16
-    path is the production one; this exists for memory-bound experimentation
-    only, hence no inference preset exposes it."""
-    import warnings
+    ``expected``: optional set of flat ``/``-joined paths from the quantized
+    model's own param structure (eval_shape init). When given, only kernels
+    whose ``.../kernel_q`` appears there are converted — required for
+    wrapper-level checkpoints where some Dense modules stay unquantized
+    (conditioning embedders, the moonshine gated MLP).
 
-    warnings.warn(
-        "int8 weight-only decode is ~10x slower than bf16 on current XLA/TPU "
-        "(unfused dequantize in the decode loop); use bf16 for production",
-        stacklevel=2,
-    )
+    PERFORMANCE NOTE: with the fused Pallas qmm kernel (round 3) int8 decode
+    runs at parity with bf16 on v5e (batch-1 decode is latency-bound, so
+    halving weight bytes buys memory footprint, not speed — PERF.md "int8
+    weight-only decode"). bf16 remains the default production path; use this
+    when weight HBM is the constraint (many parallel sessions / bigger KV)."""
     import flax
     import numpy as np
 
@@ -391,7 +404,8 @@ def quantize_params(params, bits: int = 8):
     out = {}
     for path, leaf in flat.items():
         arr = np.asarray(leaf)
-        if path.endswith("/kernel") and arr.ndim == 2:
+        wanted = expected is None or (path[: -len("kernel")] + "kernel_q") in expected
+        if path.endswith("/kernel") and arr.ndim == 2 and wanted:
             scale = np.maximum(np.abs(arr).max(axis=0), 1e-8) / qmax
             q = np.clip(np.round(arr / scale[None, :]), -qmax - 1, qmax).astype(np.int8)
             base = path[: -len("kernel")]
@@ -399,6 +413,10 @@ def quantize_params(params, bits: int = 8):
             out[base + "scale"] = scale.astype(np.float32)
         else:
             out[path] = arr
+    # Return committed device arrays: leaving numpy leaves here makes every
+    # jitted call re-upload the whole tree (catastrophic over a tunneled
+    # device link — measured 13x decode slowdown before this line existed).
+    out = {k: jnp.asarray(v) for k, v in out.items()}
     return flax.traverse_util.unflatten_dict(out, sep="/")
 
 
