@@ -558,12 +558,20 @@ def train_step_metrics(on_tpu: bool) -> dict:
         decoder_input_ids=jnp.ones((1, 8), jnp.int32),
     )
     tx = build_optimizer(args, num_processes=1)
-    state = init_train_state(params, tx)
+    # The train step donates its input state; a runtime OOM can fire at the
+    # host sync AFTER `state` was rebound to poisoned outputs (and the donated
+    # originals invalidated — params included, since TrainState references
+    # them). Snapshot params to host once so every ladder candidate starts
+    # from a pristine state regardless of what the previous attempt destroyed.
+    params_host = jax.tree.map(np.asarray, params)
+    del params
     step_fn = make_train_step(model, tx)
 
     batch = None
+    state = None
     for candidate in batch_ladder:
         try:
+            state = init_train_state(jax.tree.map(jnp.asarray, params_host), tx)
             batch_data = make_batch(candidate)
             state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(1))
             _ = float(metrics["loss"])  # real host sync (block_until_ready is unreliable here)

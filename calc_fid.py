@@ -32,6 +32,7 @@ from mapperatorinator_tpu.eval import (
     get_rhythm,
 )
 from mapperatorinator_tpu.osu import Beatmap
+from mapperatorinator_tpu.utils.batched_apply import batched_apply
 
 
 def get_beatmap_paths(args) -> list[Path]:
@@ -324,18 +325,13 @@ def extract_features(beatmap_path: Path, audio, classifier_bundle, batch_size: i
     times = np.arange(0, max(len(audio) / sr - seq_s, seq_s / 2), seq_s)
 
     examples = [create_example(events, event_times, audio, float(t), clf_args, clf_vocab) for t in times]
-    features = []
-    for start in range(0, len(examples), batch_size):
-        chunk = examples[start : start + batch_size]
-        n = len(chunk)
-        batch = {k: np.concatenate([e[k] for e in chunk]) for k in chunk[0]}
-        if n < batch_size:  # pad so compiles are reused
-            pad = batch_size - n
-            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)]) for k, v in batch.items()}
+
+    def apply_fn(batch):
         out = model.apply(params, jnp.asarray(batch["frames"]), jnp.asarray(batch["decoder_input_ids"]),
                           decoder_attention_mask=jnp.asarray(batch["decoder_attention_mask"]))
-        features.append(np.asarray(out["feature_vector"])[:n])
-    return np.concatenate(features) if features else np.zeros((0, 1))
+        return out["feature_vector"]
+
+    return batched_apply(examples, batch_size, apply_fn)
 
 
 def compute_self_similarity(features: np.ndarray, similarity: str = "cosine") -> np.ndarray:

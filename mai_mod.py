@@ -377,11 +377,14 @@ def ai_mod(
     return suggestions_by_category
 
 
-def select_config_for_gamemode(i_args, fallback: str = "v31", verbose: bool = True):
+def select_config_for_gamemode(i_args, fallback: str = "v31", verbose: bool = True,
+                               overrides: Optional[list] = None):
     """When the beatmap's gamemode is not among the config's trained
     gamemodes, fall back to the v31 inference preset, which covers all four
     modes (reference: mai_mod.py:337-360). User-facing paths and the seed
-    carry over; everything else takes the fallback preset's defaults."""
+    carry over, and any explicit ``inference.*`` CLI ``overrides`` are
+    re-applied on the fallback compose; everything else takes the fallback
+    preset's defaults."""
     beatmap_path = i_args.beatmap_path
     if not beatmap_path:
         return i_args
@@ -395,7 +398,13 @@ def select_config_for_gamemode(i_args, fallback: str = "v31", verbose: bool = Tr
         return i_args
     if verbose:
         print(f"Gamemode {mode} is not supported by the selected config; falling back to {fallback}")
-    new_args = compose(REPO_ROOT / "configs" / "inference", fallback, schema_cls=schema.InferenceConfig)
+    inference_overrides = [
+        o.split("inference.", 1)[1] for o in (overrides or []) if o.startswith("inference.")
+    ]
+    new_args = compose(
+        REPO_ROOT / "configs" / "inference", fallback,
+        overrides=inference_overrides, schema_cls=schema.InferenceConfig,
+    )
     for key in ("beatmap_path", "audio_path", "output_path", "precision", "seed"):
         setattr(new_args, key, getattr(i_args, key))
     new_args.gamemode = mode
@@ -447,17 +456,8 @@ def main(argv=None) -> None:
 
     # gamemode-unsupported configs fall back to v31 with the user's explicit
     # inference overrides re-applied (reference: mai_mod.py:337-360)
-    fallback_args = select_config_for_gamemode(i_args)
+    fallback_args = select_config_for_gamemode(i_args, overrides=overrides)
     if fallback_args is not i_args:
-        inference_overrides = [o.split("inference.", 1)[1] for o in overrides if o.startswith("inference.")]
-        if inference_overrides:
-            fallback_args = compose(
-                REPO_ROOT / "configs" / "inference", "v31",
-                overrides=inference_overrides, schema_cls=schema.InferenceConfig,
-            )
-            for key in ("beatmap_path", "audio_path", "precision"):
-                setattr(fallback_args, key, getattr(i_args, key))
-            fallback_args.gamemode = Beatmap.from_path(args.beatmap_path).mode
         i_args = args.inference = fallback_args
 
     engine, vocab = load_model(i_args)

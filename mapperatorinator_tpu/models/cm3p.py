@@ -183,22 +183,17 @@ def extract_cm3p_features(beatmap, audio: np.ndarray, bundle, batch_size: int = 
         examples.append({"input_ids": tokens[None], "frames": frames[None],
                          "attention_mask": (tokens != vocab.pad_id)[None].astype(np.int32)})
 
-    features = []
-    for start in range(0, len(examples), batch_size):
-        chunk = examples[start : start + batch_size]
-        n = len(chunk)
-        batch = {k: np.concatenate([e[k] for e in chunk]) for k in chunk[0]}
-        if n < batch_size:  # pad so compiles are reused
-            pad = batch_size - n
-            batch = {k: np.concatenate([v, np.repeat(v[-1:], pad, axis=0)]) for k, v in batch.items()}
-        embeds = model.apply(
+    from ..utils.batched_apply import batched_apply
+
+    def apply_fn(batch):
+        return model.apply(
             params,
             jnp.asarray(batch["input_ids"]),
             jnp.asarray(batch["attention_mask"]),
             method=Cm3p.encode_beatmap,
         )
-        features.append(np.asarray(embeds)[:n])
-    return np.concatenate(features) if features else np.zeros((0, 1))
+
+    return batched_apply(examples, batch_size, apply_fn)
 
 
 # -- checkpoint IO ------------------------------------------------------------

@@ -368,8 +368,9 @@ class QDense(nn.Module):
             "kernel_q", nn.initializers.zeros, (k, self.features), jnp.int8
         )
         scale = self.param("scale", nn.initializers.ones, (self.features,), jnp.float32)
-        if qmm_supported(k, self.features):
-            lead = x.shape[:-1]
+        lead = x.shape[:-1]
+        rows = math.prod(lead) if lead else 1
+        if qmm_supported(k, self.features, rows):
             y = qmm(x.astype(self.dtype).reshape(-1, k), kernel_q, scale)
             y = y.reshape(*lead, self.features)
         else:

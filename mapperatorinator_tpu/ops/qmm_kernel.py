@@ -48,13 +48,19 @@ def _pick_block_n(n: int, cap: int = 512) -> int:
     return bn
 
 
-def qmm_supported(k: int, n: int) -> bool:
-    """Shapes the fused kernel handles: lane-tileable N and an int8 weight
-    block that fits VMEM comfortably alongside x and the fp32 accumulator."""
+def qmm_supported(k: int, n: int, rows: int = 1) -> bool:
+    """Shapes the fused kernel handles: lane-tileable N, an int8 weight block
+    that fits VMEM comfortably, and a small row count (the x/out blocks scale
+    with the flattened batch — decode steps have 1..tens of rows; prefill and
+    encoder calls with hundreds+ rows fall back to the XLA expression, where
+    the one-off dequant is amortized over the large matmul anyway)."""
     if n % _LANE:
         return False
     bn = _pick_block_n(n)
-    return k * bn <= 2**21  # <=2 MB int8 block
+    if k * bn > 2**21:  # <=2 MB int8 weight block
+        return False
+    # x (rows,K) bf16 + out (rows,bn) fp32 per grid step, <=2 MB each
+    return rows * k * 2 <= 2**21 and rows * bn * 4 <= 2**21
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3,))

@@ -44,9 +44,14 @@ def test_qmm_grad_matches_unfused():
 def test_qmm_supported_gating():
     assert qmm_supported(768, 3072)   # the v32 MLP shape — the hot path
     assert qmm_supported(768, 768)
+    assert qmm_supported(768, 3072, rows=16)  # batched decode step
     assert not qmm_supported(32, 64)  # below lane tile -> XLA fallback
     assert not qmm_supported(768, 100)  # non-tileable N
     assert not qmm_supported(32768, 512)  # block would blow VMEM
+    # prefill-scale row counts (batch x prompt bucket) must fall back: the
+    # x/out blocks scale with rows and would oversubscribe VMEM
+    assert not qmm_supported(768, 3072, rows=4096)
+    assert not qmm_supported(768, 768, rows=2048)
 
 
 def test_qdense_uses_fused_path_at_model_shapes():
