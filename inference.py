@@ -453,6 +453,17 @@ def load_model(args, auto_select_gamemode_model: Optional[bool] = None):
         model, params = quantize_checkpoint(model, params)
         print("Quantized decode weights to int8 (weight-only, fused qmm kernel)")
 
+    if getattr(args, "quantized_kv", False):
+        import dataclasses
+
+        from mapperatorinator_tpu.models import Mapperatorinator
+
+        model = Mapperatorinator(dataclasses.replace(
+            model.config,
+            backbone=dataclasses.replace(model.config.backbone, quantized_kv=True),
+        ))
+        print("Using int8 KV cache for decode")
+
     engine = DecodeEngine(model, params, max_length=args.train.data.tgt_seq_len, pad_token_id=vocab.pad_id)
     return engine, vocab
 

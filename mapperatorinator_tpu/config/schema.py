@@ -495,6 +495,10 @@ class InferenceConfig:
     # TPU extension (no reference equivalent): int8 weight-only decode via the
     # fused Pallas qmm kernel — halves weight HBM at bf16-parity speed (PERF.md)
     quantized_weights: bool = False
+    # TPU extension: int8 KV cache — halves the cache HBM reads that bound
+    # long batched decodes (+22% on the attention step at batch 8, PERF.md);
+    # ~1% attention error, so generated tokens may diverge from bf16
+    quantized_kv: bool = False
     attn_implementation: str = "auto"
     add_to_beatmap: bool = False
     overwrite_reference_beatmap: bool = False
