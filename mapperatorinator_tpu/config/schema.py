@@ -245,6 +245,10 @@ class ParallelConfig:
     tensor_axis: Optional[str] = None
     fsdp_axis: Optional[str] = None
     remat: bool = False  # jax.checkpoint the encoder/decoder blocks
+    # "full" recomputes everything; "dots" keeps matmul outputs resident
+    # (checkpoint_dots_with_no_batch_dims_saveable) — faster backward for a
+    # modest memory bump
+    remat_policy: str = "full"
 
 
 @dataclass

@@ -200,6 +200,7 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
         norm_eps=norm_eps,
         norm_scheme=norm_scheme,
         remat=bool(getattr(getattr(train_args, "parallel", None), "remat", False)),
+        remat_policy=getattr(getattr(train_args, "parallel", None), "remat_policy", "full"),
         attention_bias=attention_bias,
         attention_scale=attention_scale,
         mlp_bias=mlp_bias,

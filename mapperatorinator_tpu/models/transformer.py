@@ -86,6 +86,12 @@ class TransformerConfig:
     # jax.checkpoint each layer: recompute activations in the backward pass,
     # trading FLOPs for HBM (enables bigger batches / longer windows)
     remat: bool = False
+    # remat policy: "full" recomputes everything (min memory);
+    # "dots" = checkpoint_dots_with_no_batch_dims_saveable keeps matmul
+    # outputs resident and recomputes only the cheap elementwise ops —
+    # fewer recomputed FLOPs for a modest memory bump (the classic
+    # selective-checkpointing policy for MXU-bound transformer blocks)
+    remat_policy: str = "full"
     # weight-only int8 for the dense projections (inference): halves the HBM
     # weight traffic that bounds batch-1 autoregressive decode; per-output-
     # channel scales, biases/norms/embeddings stay fp
@@ -837,6 +843,15 @@ def whisper_sinusoids(length: int, channels: int) -> jnp.ndarray:
     return jnp.concatenate([jnp.sin(scaled), jnp.cos(scaled)], axis=1)
 
 
+def _remat_policy(cfg: TransformerConfig):
+    """Map cfg.remat_policy to a jax.checkpoint policy (None = save nothing)."""
+    if cfg.remat_policy == "full":
+        return None
+    if cfg.remat_policy == "dots":
+        return jax.checkpoint_policies.dots_with_no_batch_dims_saveable
+    raise ValueError(f"unknown remat_policy {cfg.remat_policy!r} (expected 'full' or 'dots')")
+
+
 class Encoder(nn.Module):
     config: TransformerConfig
 
@@ -894,7 +909,10 @@ class Encoder(nn.Module):
                                             name="rel_bias")(jnp.arange(t), jnp.arange(t))
 
         # deterministic (arg 5 incl. self) stays static under remat
-        layer_cls = nn.remat(EncoderLayer, static_argnums=(5,)) if cfg.remat else EncoderLayer
+        layer_cls = (
+            nn.remat(EncoderLayer, static_argnums=(5,), policy=_remat_policy(cfg))
+            if cfg.remat else EncoderLayer
+        )
         for i in range(cfg.encoder_layers):
             x = layer_cls(cfg, layer_idx=i, name=f"layers_{i}")(
                 x, positions, attn_mask, pos_bias, deterministic
@@ -924,7 +942,10 @@ class Decoder(nn.Module):
             )
         if cfg.position_scheme == "t5_relpos":
             self.rel_bias = RelativePositionBias(cfg, cfg.decoder_heads, bidirectional=False, name="rel_bias")
-        layer_cls = nn.remat(DecoderLayer, static_argnums=(9,)) if cfg.remat else DecoderLayer
+        layer_cls = (
+            nn.remat(DecoderLayer, static_argnums=(9,), policy=_remat_policy(cfg))
+            if cfg.remat else DecoderLayer
+        )
         self.layers = [
             layer_cls(cfg, layer_idx=i, name=f"layers_{i}") for i in range(cfg.decoder_layers)
         ]

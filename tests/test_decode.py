@@ -343,3 +343,36 @@ def test_data_parallel_sharded_decode_matches_single_device(tiny):
     enc_sharded = jax.device_put(enc, NamedSharding(mesh, P("data")))
     out = np.asarray(engine.generate(enc_sharded, prompt, pipeline, eos_ids=[EOS], seed=0)[0])
     assert np.array_equal(out, ref)
+
+
+def test_tensor_parallel_sharded_decode_matches_single_device(tiny):
+    """Multi-chip LATENCY serving: Megatron tensor-parallel param placement
+    (wq/wk/wv column, wo/fc2 row — parallel/sharding.py) makes GSPMD
+    partition the compiled decode loop across chips, splitting the
+    per-step weight streaming that bounds batch-1 sequential decode.
+    Combined with the data axis this is the full dp x tp serving layout;
+    tokens must match the single-device run."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from mapperatorinator_tpu.parallel import shard_params
+
+    cfg, model, params, feats1 = tiny
+    engine = DecodeEngine(model, params, max_length=32, pad_token_id=0)
+    pipeline = make_pipeline(do_sample=False)
+    n = len(jax.devices())
+    assert n >= 4, "virtual device mesh missing (conftest sets 8)"
+    data, tensor = n // 2, 2
+    batch = data * 2
+    prompt = np.ones((batch, 1), np.int32)
+    feats = jnp.repeat(feats1, batch, 0) + jax.random.normal(
+        jax.random.PRNGKey(3), (batch,) + feats1.shape[1:]) * 0.1
+
+    enc = engine.encode(feats)
+    ref = np.asarray(engine.generate(enc, prompt, pipeline, eos_ids=[EOS], seed=0)[0])
+
+    mesh = Mesh(np.asarray(jax.devices()).reshape(data, tensor), ("data", "tensor"))
+    tp_params = shard_params(mesh, params, tensor_axis="tensor")
+    tp_engine = DecodeEngine(model, tp_params, max_length=32, pad_token_id=0)
+    enc_sharded = jax.device_put(enc, NamedSharding(mesh, P("data")))
+    out = np.asarray(tp_engine.generate(enc_sharded, prompt, pipeline, eos_ids=[EOS], seed=0)[0])
+    assert np.array_equal(out, ref)

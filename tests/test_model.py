@@ -375,6 +375,19 @@ def test_remat_matches_no_remat():
     for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
+    # selective policy ("dots": matmul outputs stay resident, only
+    # elementwise ops recompute) changes the backward schedule, not the math
+    m_dots = OsuTransformer(dataclasses.replace(m_remat.config, remat_policy="dots"))
+    l2, g2 = jax.value_and_grad(lambda p: loss(m_dots, p))(params)
+    assert float(l2) == pytest.approx(float(l1), abs=1e-6)
+    for a, b in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+    with pytest.raises(ValueError, match="remat_policy"):
+        OsuTransformer(dataclasses.replace(m_remat.config, remat_policy="bogus")).apply(
+            params, features=feats, decoder_input_ids=ids
+        )
+
     # cached decode still works with remat'd layers
     enc = m_remat.apply(params, feats, method=lambda m, f: m.encoder(f))
     cache = m_remat.apply(params, 2, 16, enc, method=lambda m, b, l, e: m.init_cache(b, l, e))
