@@ -83,6 +83,14 @@ class TransformerConfig:
     # (the XLA composite materializes (B, H, T, S) fp32 logits in HBM; the
     # kernel keeps them in VMEM — 50x faster at T=8k)
     use_flash_attention: bool = True
+    # minimum TOTAL materialized logits elements (B*H*Tq*S — the HBM traffic
+    # the XLA composite would round-trip) for the Pallas route; below it
+    # XLA's fusions win. Default = the measured batch-1 par point
+    # (12 heads x 2560^2). Lowering the gate to cover the v32 train step's
+    # encoder (1024^2) and cross (2560x1024) attention at batch 16 measured
+    # +10.5% step time (2.516 -> 2.278 s/step, MFU .144 -> .159) — the
+    # B*H factor is what the old per-matrix T*S rule missed.
+    flash_min_logits: int = 12 * 2560 * 2560
     # jax.checkpoint each layer: recompute activations in the backward pass,
     # trading FLOPs for HBM (enables bigger batches / longer windows)
     remat: bool = False
@@ -96,10 +104,13 @@ class TransformerConfig:
     # weight traffic that bounds batch-1 autoregressive decode; per-output-
     # channel scales, biases/norms/embeddings stay fp
     quantized_weights: bool = False
-    # int8 KV cache (inference): halves the cache HBM reads that bound long
-    # batched decodes (measured v5e: the batch8 x 2560-slot attention step
-    # drops 2.68 -> 2.10 ms with int8 KV, XLA fusing the dequant into the
-    # attention reads). Per-token-per-head scales; ~1% relative attention
+    # int8 KV cache (inference): halves the cache HBM *footprint* (bigger
+    # batches / longer buffers per chip). NOT a throughput option: an
+    # isolated attention step fuses well (2.68 -> 2.10 ms at batch8 x 2560)
+    # but in the full engine loop the per-step quantize-on-write + dequant
+    # materialization outweigh the bytes saved — measured 1 057 tok/s vs
+    # 1 974 bf16 at batch 8 full window (PERF.md "int8 decode options at
+    # full window"). Per-token-per-head scales; ~1% relative attention
     # error, so tokens may diverge from the bf16 cache — opt-in.
     quantized_kv: bool = False
     # single-step cached decode attends over only the live cache prefix,
@@ -683,15 +694,18 @@ class Attention(nn.Module):
     def _flash_eligible(self, cache, pos_bias, attn_mask, q, k) -> bool:
         """Pallas path covers the full-sequence (non-cached) forward with
         structural masks only; causal indices assume arange positions, which
-        every non-cached caller uses. Measured crossover on v5e: the kernel
-        matches XLA at 2560^2 attention and wins massively beyond (60x at
-        8k); XLA's fusions are faster below."""
+        every non-cached caller uses. Gate: total logits elements B*H*Tq*S
+        (the fp32 HBM round-trip the XLA composite pays) >= flash_min_logits
+        — the measured batch-1 par point (12 x 2560^2) where the kernel
+        matches XLA; it wins massively beyond (60x at 8k^2) and at large
+        batch (+10.5% on the batch-16 v32 train step via its encoder/cross
+        attention); XLA's fusions are faster below."""
         cfg = self.config
         if not cfg.use_flash_attention or cache is not None or pos_bias is not None:
             return False
         if not cfg.attention_scale:
             return False
-        if q.shape[1] * k.shape[1] < 2560 * 2560:
+        if q.shape[0] * q.shape[2] * q.shape[1] * k.shape[1] < cfg.flash_min_logits:
             return False
         if attn_mask is not None and not (
             attn_mask.ndim == 4 and attn_mask.shape[1] == 1 and attn_mask.shape[2] == 1
