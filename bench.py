@@ -244,7 +244,11 @@ def dit_refine_seconds(on_tpu: bool) -> float:
             Event(EventType.CIRCLE),
         ]
     cfg = GenerationConfig()
-    pipeline.generate(events[: 3 * 16], cfg, timing=None, verbose=False)  # compile warmup
+    # warmup on a DIFFERENT song length in the same power-of-two chunk
+    # bucket: the jitted sampling loop is cached per bucket, so the
+    # measured run reuses the compiled program (steady-state serving)
+    warm_objects = (n_objects * 5 // 6) if on_tpu else 12
+    pipeline.generate(events[: 3 * warm_objects], cfg, timing=None, verbose=False)
     t0 = time.perf_counter()
     out = pipeline.generate(events, cfg, timing=None, verbose=False)
     elapsed = time.perf_counter() - t0

@@ -210,3 +210,39 @@ def test_pipeline_sequence_roundtrip():
     types = [e.type for e in out]
     assert EventType.DISTANCE not in types
     assert types.count(EventType.POS_X) == 3 and types.count(EventType.POS_Y) == 3
+
+    # chunk buckets: songs of different lengths in the same power-of-two
+    # bucket must reuse ONE compiled sampling loop (the 3-min DiT-B
+    # refinement was ~90% chunk-shape compiles before bucketing)
+    assert len(pipeline._loop_cache) == 1
+    events2 = events + [
+        E(EventType.TIME_SHIFT, 2500), E(EventType.DISTANCE, 60), E(EventType.CIRCLE),
+    ]
+    out2 = pipeline.generate(events2, GenerationConfig(), timing=None)
+    assert [e.type for e in out2].count(EventType.POS_X) == 4
+    assert len(pipeline._loop_cache) == 1
+
+
+def test_dit_padded_keys_do_not_affect_real_rows():
+    """Bucket padding contract: a padded chunk with key-validity masking
+    produces the same outputs on the real rows as the unpadded forward."""
+    from mapperatorinator_tpu.models.dit import DiT, DiTConfig, banded_attention_mask
+
+    cfg = DiTConfig(in_channels=2, context_size=20, hidden_size=32, depth=2, num_heads=2, class_size=8)
+    model = DiT(cfg)
+    rng = np.random.default_rng(0)
+    t_len, bucket = 12, 16
+    x = jnp.asarray(rng.standard_normal((2, t_len, 2)), jnp.float32)
+    c = jnp.asarray(rng.standard_normal((2, t_len, 20)), jnp.float32)
+    t = jnp.zeros((2,), jnp.int32)
+    y = jnp.zeros((2, 8))
+    params = model.init(jax.random.PRNGKey(0), x, t, c, y)
+
+    band = 4
+    ref = model.apply(params, x, t, c, y, banded_attention_mask(t_len, band))
+
+    x_pad = jnp.pad(x, ((0, 0), (0, bucket - t_len), (0, 0)))
+    c_pad = jnp.pad(c, ((0, 0), (0, bucket - t_len), (0, 0)))
+    mask = np.asarray(banded_attention_mask(bucket, band)) & (np.arange(bucket) < t_len)[None, None, None, :]
+    out = model.apply(params, x_pad, t, c_pad, y, jnp.asarray(mask))
+    np.testing.assert_allclose(np.asarray(out[:, :t_len]), np.asarray(ref), atol=1e-5)
