@@ -327,11 +327,32 @@ def extract_features(beatmap_path: Path, audio, classifier_bundle, batch_size: i
     examples = [create_example(events, event_times, audio, float(t), clf_args, clf_vocab) for t in times]
 
     def apply_fn(batch):
-        out = model.apply(params, jnp.asarray(batch["frames"]), jnp.asarray(batch["decoder_input_ids"]),
-                          decoder_attention_mask=jnp.asarray(batch["decoder_attention_mask"]))
-        return out["feature_vector"]
+        return _classifier_features(
+            model, params, jnp.asarray(batch["frames"]), jnp.asarray(batch["decoder_input_ids"]),
+            jnp.asarray(batch["decoder_attention_mask"]),
+        )
 
     return batched_apply(examples, batch_size, apply_fn)
+
+
+_CLASSIFIER_FEATURES_JIT: dict = {}
+
+
+def _classifier_features(model, params, frames, ids, mask):
+    """Per-model cached jit (params an operand, never baked as constants) so
+    every beatmap's feature pass reuses one compiled program instead of
+    dispatching the eager op stream per window batch."""
+    import jax
+
+    fn = _CLASSIFIER_FEATURES_JIT.get(id(model))
+    if fn is None:
+        def raw(params, frames, ids, mask):
+            out = model.apply(params, frames, ids, decoder_attention_mask=mask)
+            return out["feature_vector"]
+
+        fn = jax.jit(raw)
+        _CLASSIFIER_FEATURES_JIT[id(model)] = fn
+    return fn(params, frames, ids, mask)
 
 
 def compute_self_similarity(features: np.ndarray, similarity: str = "cosine") -> np.ndarray:

@@ -72,9 +72,20 @@ class DecodeEngine:
         return self.encode_with_cond(frames, cond)
 
     def encode_with_cond(self, frames, cond: Optional[dict] = None) -> jnp.ndarray:
-        """Conditioned encoder forward; one compiled program per cond-key set."""
+        """Conditioned encoder forward; one compiled program per cond-key set.
+        The batch dim is bucketed (power of two, padded rows sliced off) so
+        windowed passes with varying window counts reuse compiled programs."""
         cond = cond or {}
-        key = ("encode", tuple(sorted(cond)), np.shape(frames))
+        frames = np.asarray(frames)
+        B = frames.shape[0]
+        Bb = _row_bucket(B)
+        if Bb != B:
+            frames = np.concatenate([frames, np.repeat(frames[-1:], Bb - B, axis=0)], axis=0)
+            cond = {
+                k: np.concatenate([v, np.repeat(np.asarray(v)[-1:], Bb - B, axis=0)], axis=0)
+                for k, v in cond.items()
+            }
+        key = ("encode", tuple(sorted(cond)), frames.shape)
         fn = self._generate_fn_cache.get(key)
         if fn is None:
             model = self.model
@@ -84,7 +95,8 @@ class DecodeEngine:
                 return model.apply(params, frames, method=type(model).encode, **cond)
 
             self._generate_fn_cache[key] = fn
-        return fn(self.params, jnp.asarray(frames), {k: jnp.asarray(v) for k, v in cond.items()})
+        out = fn(self.params, jnp.asarray(frames), {k: jnp.asarray(v) for k, v in cond.items()})
+        return out[:B] if Bb != B else out
 
     def generate(
         self,
@@ -210,9 +222,44 @@ class DecodeEngine:
     ) -> np.ndarray:
         """Teacher-forced forward -> fp32 logits (B, T, V); folds the CFG dual
         batch like the reference's model_forward (reference: server.py:160-181).
-        With cfg_scale > 1 the batch is [neg; pos] and B halves on return."""
+        With cfg_scale > 1 the batch is [neg; pos] and B halves on return.
+
+        Shapes are bucketed so windowed analysis passes (ai_mod / server
+        forward) reuse a handful of compiled programs: T right-pads to a
+        power of two (masked trailing pads — position-safe under causal
+        self-attention) and rows pad per CFG half (padded rows discarded)."""
         B, T = decoder_input_ids.shape
-        key = ("forward", B, T, np.shape(encoder_states))
+        if decoder_attention_mask is None:
+            decoder_attention_mask = decoder_input_ids != self.pad_token_id
+        ids = np.asarray(decoder_input_ids, np.int32)
+        mask = np.asarray(decoder_attention_mask, bool)
+        enc = jnp.asarray(encoder_states)  # stays on device
+
+        Tb = _bucket(T)
+        # never pad past the model's position table
+        limit = getattr(self.model.config, "max_target_positions", None)
+        if limit is not None and Tb > limit:
+            Tb = limit if limit >= T else T
+        if Tb != T:
+            ids = np.pad(ids, ((0, 0), (0, Tb - T)), constant_values=self.pad_token_id)
+            mask = np.pad(mask, ((0, 0), (0, Tb - T)), constant_values=False)
+
+        use_cfg = cfg_scale > 1.0
+        halves = 2 if use_cfg else 1
+        H = B // halves
+        Hb = _row_bucket(H)
+        if Hb != H:
+            def pad_rows(x, xp):
+                parts = xp.split(x, halves, axis=0)
+                return xp.concatenate(
+                    [xp.concatenate([p, xp.repeat(p[-1:], Hb - H, axis=0)], axis=0) for p in parts],
+                    axis=0,
+                )
+
+            ids, mask = pad_rows(ids, np), pad_rows(mask, np)
+            enc = pad_rows(enc, jnp)
+
+        key = ("forward", ids.shape, enc.shape)
         fn = self._generate_fn_cache.get(key)
         if fn is None:
             model = self.model
@@ -230,20 +277,103 @@ class DecodeEngine:
                 return logits.astype(jnp.float32)
 
             self._generate_fn_cache[key] = fn
+        logits = np.asarray(fn(self.params, jnp.asarray(enc), jnp.asarray(ids), jnp.asarray(mask)))
+        if use_cfg:
+            neg, pos = logits[:Hb][:H], logits[Hb:][:H]
+            logits = pos + (neg - pos) * cfg_scale
+        else:
+            logits = logits[:H]
+        return logits[:, :T]
+
+    def forward_stats(
+        self,
+        encoder_states,
+        decoder_input_ids: np.ndarray,
+        decoder_attention_mask: Optional[np.ndarray] = None,
+        cfg_scale: float = 1.0,
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Teacher-forced per-position analysis stats, reduced ON DEVICE:
+        returns ``(surprisal_bits, entropy_bits, argmax_ids)``, each (B, T).
+
+        Numerically identical to softmaxing :meth:`forward`'s logits on the
+        host (same CFG fold first, same ``+1e-10`` guards, base-2), but the
+        device->host transfer drops from the (B, T, V) fp32 logits to three
+        (B, T) arrays — on a tunneled chip that transfer dominated the whole
+        MaiMod analysis pass (measured 41 s of a 41.4 s warm 60-s-song
+        ai_mod; reference behavior: server.py:160-181 + processor.py:519-529).
+        ``surprisal_bits[p]`` scores the NEXT prompt token (``ids[p+1]``) —
+        exactly the token the ai_mod event loop pairs with row ``p``."""
+        B, T = decoder_input_ids.shape
         if decoder_attention_mask is None:
             decoder_attention_mask = decoder_input_ids != self.pad_token_id
-        logits = fn(
-            self.params,
-            jnp.asarray(encoder_states),
-            jnp.asarray(decoder_input_ids, jnp.int32),
-            jnp.asarray(decoder_attention_mask),
-        )
-        logits = np.asarray(logits)
-        if cfg_scale > 1.0:
-            half = logits.shape[0] // 2
-            neg, pos = logits[:half], logits[half:]
-            logits = pos + (neg - pos) * cfg_scale
-        return logits
+        ids = np.asarray(decoder_input_ids, np.int32)
+        mask = np.asarray(decoder_attention_mask, bool)
+        enc = jnp.asarray(encoder_states)
+
+        Tb = _bucket(T)
+        limit = getattr(self.model.config, "max_target_positions", None)
+        if limit is not None and Tb > limit:
+            Tb = limit if limit >= T else T
+        if Tb != T:
+            ids = np.pad(ids, ((0, 0), (0, Tb - T)), constant_values=self.pad_token_id)
+            mask = np.pad(mask, ((0, 0), (0, Tb - T)), constant_values=False)
+
+        use_cfg = cfg_scale > 1.0
+        halves = 2 if use_cfg else 1
+        H = B // halves
+        Hb = _row_bucket(H)
+        if Hb != H:
+            def pad_rows(x, xp):
+                parts = xp.split(x, halves, axis=0)
+                return xp.concatenate(
+                    [xp.concatenate([p, xp.repeat(p[-1:], Hb - H, axis=0)], axis=0) for p in parts],
+                    axis=0,
+                )
+
+            ids, mask = pad_rows(ids, np), pad_rows(mask, np)
+            enc = pad_rows(enc, jnp)
+
+        key = ("forward_stats", ids.shape, enc.shape, cfg_scale)
+        fn = self._generate_fn_cache.get(key)
+        if fn is None:
+            model = self.model
+            pad_id = self.pad_token_id
+            ln2 = float(np.log(2.0))
+
+            @jax.jit
+            def fn(params, enc, ids, mask):
+                logits = model.apply(
+                    params,
+                    decoder_input_ids=ids,
+                    decoder_attention_mask=mask,
+                    encoder_states=enc,
+                )
+                if isinstance(logits, tuple):
+                    logits = logits[0]
+                logits = logits.astype(jnp.float32)
+                ids_pos = ids
+                if use_cfg:
+                    neg, pos = jnp.split(logits, 2, axis=0)
+                    logits = pos + (neg - pos) * cfg_scale
+                    # rows are [negative; positive]: score the positive
+                    # (conditioned) prompt's tokens
+                    ids_pos = jnp.split(ids, 2, axis=0)[1]
+                probs = jax.nn.softmax(logits, axis=-1)
+                entropy = -jnp.sum(probs * jnp.log2(probs + 1e-10), axis=-1)
+                targets = jnp.concatenate(
+                    [ids_pos[:, 1:], jnp.full((logits.shape[0], 1), pad_id, jnp.int32)], axis=1
+                )
+                p_target = jnp.take_along_axis(probs, targets[..., None], axis=-1)[..., 0]
+                surprisal = -jnp.log(p_target + 1e-10) / ln2
+                return surprisal, entropy, jnp.argmax(logits, axis=-1).astype(jnp.int32)
+
+            self._generate_fn_cache[key] = fn
+        surprisal, entropy, argmax = fn(self.params, enc, jnp.asarray(ids), jnp.asarray(mask))
+        out = []
+        for arr in (surprisal, entropy, argmax):
+            arr = np.asarray(arr)
+            out.append(arr[:H, :T])
+        return tuple(out)
 
     # -- compiled internals -------------------------------------------------------
 
@@ -585,6 +715,14 @@ def _bucket(p: int) -> int:
     """Smallest power-of-two >= p (min 64)."""
     b = 64
     while b < p:
+        b *= 2
+    return b
+
+
+def _row_bucket(n: int) -> int:
+    """Smallest power-of-two >= n (min 1) — batch-row bucketing."""
+    b = 1
+    while b < n:
         b *= 2
     return b
 

@@ -37,12 +37,6 @@ from ..osu.vocab import MILLISECONDS_PER_STEP, Vocabulary
 MILLISECONDS_PER_SECOND = 1000
 
 
-def _softmax(x: np.ndarray) -> np.ndarray:
-    x = x - x.max(axis=-1, keepdims=True)
-    e = np.exp(x)
-    return e / e.sum(axis=-1, keepdims=True)
-
-
 def calculate_difficulty(path=None, content=None, speed: float = 1.0) -> Optional[float]:
     """Star rating via the native C++ calculator (the reference uses rosu-pp;
     reference: data_utils.py:190-226). None on failure -> conditioning falls
@@ -684,10 +678,15 @@ class Processor:
 
                 ids = np.concatenate([np.concatenate(padded[n:], axis=0), ids], axis=0)
                 encoder_states = jnp.concatenate([encoder_states, encoder_states], axis=0)
-            logits_batch = self.engine.forward(encoder_states, ids, cfg_scale=self.cfg_scale)
+            # per-position stats reduced on device: transferring the
+            # (B, T, V) logits dominated the analysis pass on a tunneled
+            # chip (engine.forward_stats docstring has the numbers)
+            sur_batch, ent_batch, arg_batch = self.engine.forward_stats(
+                encoder_states, ids, cfg_scale=self.cfg_scale
+            )
 
             for row_i in range(n):
-                result = logits_batch[row_i]
+                result_len = sur_batch.shape[1]
                 for context in out_context_data:
                     trim_lookback = sequence_index != 0
                     trim_lookahead = sequence_index != len(frames) - 1
@@ -698,9 +697,8 @@ class Processor:
                     )
                     events = context["events"][s:e]
                     event_times = context["event_times"][s:e]
-                    tokens = self._encode(events, frame_time)[0]
                     seq_prompt = cond_prompts[sequence_index][0]
-                    padding = result.shape[0] - len(seq_prompt)
+                    padding = result_len - len(seq_prompt)
 
                     window_start_t = frame_time + self.lookback_time if trim_lookback else frame_time
                     window_end_t = (
@@ -720,22 +718,22 @@ class Processor:
                     else:
                         start, end = self._get_token_context(seq_prompt, self.vocab.sos_id, self.vocab.eos_id)
 
-                    # logits for the event itself, not the next event
-                    logits = result[start + padding - 1 : end + padding - 1]
-                    assert len(logits) == len(events), (
-                        f"Logits length {len(logits)} does not match events length {len(events)}"
+                    # stats rows for the event itself, not the next event:
+                    # row p scores prompt token p+1, which is exactly the
+                    # encoded event at out-context offset p+1-start
+                    row = slice(start + padding - 1, end + padding - 1)
+                    surprisal = sur_batch[row_i][row]
+                    entropy = ent_batch[row_i][row]
+                    suggested_tokens = arg_batch[row_i][row]
+                    assert len(surprisal) == len(events), (
+                        f"Stats length {len(surprisal)} does not match events length {len(events)}"
                     )
 
-                    tokens = tokens[s2:e2]
-                    logits = logits[s2:e2]
-
-                    probs = _softmax(logits)
-                    entropy = -np.sum(probs * np.log2(probs + 1e-10), axis=-1)
-                    surprisal = -np.log2(probs[np.arange(len(tokens)), tokens] + 1e-10)
+                    surprisal = surprisal[s2:e2]
+                    entropy = entropy[s2:e2]
                     relative = np.where(entropy > 0, surprisal / entropy, 0)
 
-                    suggested_tokens = logits.argmax(axis=-1)
-                    suggested_events = self._decode(suggested_tokens, frame_time, True)
+                    suggested_events = self._decode(suggested_tokens[s2:e2], frame_time, True)
 
                     context["surprisals"][s:e][s2:e2] = relative
                     context["expected_events"][s:e][s2:e2] = suggested_events

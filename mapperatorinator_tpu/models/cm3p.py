@@ -132,6 +132,9 @@ class Cm3p(nn.Module):
 # -- feature extraction -------------------------------------------------------
 
 
+_BEATMAP_ENCODE_JIT: dict = {}
+
+
 def extract_cm3p_features(beatmap, audio: np.ndarray, bundle, batch_size: int = 16) -> np.ndarray:
     """Per-window CM3P beatmap embeddings (the reference's
     ``outputs.beatmap_embeds`` path, calc_fid.py:650-676). ``bundle`` is the
@@ -185,13 +188,16 @@ def extract_cm3p_features(beatmap, audio: np.ndarray, bundle, batch_size: int = 
 
     from ..utils.batched_apply import batched_apply
 
+    fn = _BEATMAP_ENCODE_JIT.get(id(model))
+    if fn is None:
+        def raw(params, ids, mask):
+            return model.apply(params, ids, mask, method=Cm3p.encode_beatmap)
+
+        fn = jax.jit(raw)
+        _BEATMAP_ENCODE_JIT[id(model)] = fn
+
     def apply_fn(batch):
-        return model.apply(
-            params,
-            jnp.asarray(batch["input_ids"]),
-            jnp.asarray(batch["attention_mask"]),
-            method=Cm3p.encode_beatmap,
-        )
+        return fn(params, jnp.asarray(batch["input_ids"]), jnp.asarray(batch["attention_mask"]))
 
     return batched_apply(examples, batch_size, apply_fn)
 

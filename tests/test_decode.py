@@ -345,6 +345,87 @@ def test_data_parallel_sharded_decode_matches_single_device(tiny):
     assert np.array_equal(out, ref)
 
 
+def test_forward_bucketing_is_output_invariant(tiny):
+    """engine.forward right-pads T and pads rows per CFG half to power-of-two
+    buckets for compile reuse; outputs must equal the exact-shape forward."""
+    from mapperatorinator_tpu.models import OsuTransformer
+
+    cfg, model, params, feats1 = tiny
+    engine = DecodeEngine(model, params, max_length=32, pad_token_id=0)
+    rng = np.random.default_rng(5)
+    B, T = 3, 10  # row bucket 4, T bucket 64
+    feats = jnp.repeat(feats1, B, 0) + jax.random.normal(jax.random.PRNGKey(4), (B,) + feats1.shape[1:]) * 0.1
+    enc = model.apply(params, feats, method=OsuTransformer.encode)
+    ids = rng.integers(3, 60, (B, T)).astype(np.int32)
+    ids[0, :4] = 0  # a left-padded row, like the processors produce
+
+    got = engine.forward(enc, ids)
+    direct = np.asarray(
+        model.apply(
+            params,
+            decoder_input_ids=jnp.asarray(ids),
+            decoder_attention_mask=jnp.asarray(ids != 0),
+            encoder_states=enc,
+        ),
+        np.float32,
+    )
+    assert got.shape == direct.shape
+    # invariance holds at every VALID query position (pad queries attend to
+    # an empty key set -> uniform over the key count, which padding changes;
+    # no caller reads those rows)
+    valid = ids != 0
+    np.testing.assert_allclose(got[valid], direct[valid], atol=2e-5)
+
+    # CFG dual batch [neg; pos]: fold result must match the manual fold
+    ids2 = np.concatenate([ids, ids], axis=0)
+    ids2[:B, 1] = 5  # negative prompt differs
+    enc2 = jnp.concatenate([enc, enc], axis=0)
+    got_cfg = engine.forward(enc2, ids2, cfg_scale=3.0)
+    direct2 = np.asarray(
+        model.apply(
+            params,
+            decoder_input_ids=jnp.asarray(ids2),
+            decoder_attention_mask=jnp.asarray(ids2 != 0),
+            encoder_states=enc2,
+        ),
+        np.float32,
+    )
+    want = direct2[B:] + (direct2[:B] - direct2[B:]) * 3.0
+    valid2 = ids2[B:] != 0
+    np.testing.assert_allclose(got_cfg[valid2], want[valid2], atol=2e-4)
+
+
+def test_forward_stats_match_host_reduction(tiny):
+    """engine.forward_stats (device-reduced surprisal/entropy/argmax) must
+    equal the host reduction of engine.forward's logits — the math the
+    MaiMod analysis previously did on the transferred (B, T, V) array."""
+    from mapperatorinator_tpu.models import OsuTransformer
+
+    cfg, model, params, feats1 = tiny
+    engine = DecodeEngine(model, params, max_length=32, pad_token_id=0)
+    rng = np.random.default_rng(6)
+    B, T = 2, 9
+    feats = jnp.repeat(feats1, B, 0) + jax.random.normal(jax.random.PRNGKey(7), (B,) + feats1.shape[1:]) * 0.1
+    enc = model.apply(params, feats, method=OsuTransformer.encode)
+    ids = rng.integers(3, 60, (B, T)).astype(np.int32)
+
+    for cfg_scale, enc_in, ids_in in [
+        (1.0, enc, ids),
+        (2.5, jnp.concatenate([enc, enc], axis=0), np.concatenate([ids + 1, ids], axis=0)),
+    ]:
+        sur, ent, arg = engine.forward_stats(enc_in, ids_in, cfg_scale=cfg_scale)
+        logits = engine.forward(enc_in, ids_in, cfg_scale=cfg_scale)
+        x = logits - logits.max(axis=-1, keepdims=True)
+        probs = np.exp(x) / np.exp(x).sum(axis=-1, keepdims=True)
+        want_ent = -np.sum(probs * np.log2(probs + 1e-10), axis=-1)
+        targets = np.concatenate([ids[:, 1:], np.zeros((B, 1), np.int32)], axis=1)
+        want_sur = -np.log2(np.take_along_axis(probs, targets[..., None], -1)[..., 0] + 1e-10)
+        assert sur.shape == ent.shape == arg.shape == (B, T)
+        np.testing.assert_allclose(ent, want_ent, atol=1e-4)
+        np.testing.assert_allclose(sur[:, :-1], want_sur[:, :-1], atol=1e-4)
+        np.testing.assert_array_equal(arg, logits.argmax(axis=-1))
+
+
 def test_tensor_parallel_sharded_decode_matches_single_device(tiny):
     """Multi-chip LATENCY serving: Megatron tensor-parallel param placement
     (wq/wk/wv column, wo/fc2 row — parallel/sharding.py) makes GSPMD
