@@ -20,12 +20,12 @@ SRC_SEQ_LEN = 256
 TGT_SEQ_LEN = 256
 
 
-def make_wav(path, seconds: float = 10.0, sr: int = 16000) -> Path:
-    """Synthesized 440 Hz + beat-pulsed tone (deterministic)."""
+def make_wav(path, seconds: float = 10.0, sr: int = 16000, freq: float = 440.0) -> Path:
+    """Synthesized beat-pulsed tone (deterministic)."""
     path = Path(path)
     t = np.arange(int(sr * seconds)) / sr
     beat = (np.sin(2 * np.pi * 2.0 * t) > 0).astype(np.float32)  # 120 BPM gate
-    x = np.sin(2 * np.pi * 440 * t) * (0.15 + 0.15 * beat)
+    x = np.sin(2 * np.pi * freq * t) * (0.15 + 0.15 * beat)
     data = (x * 32767).astype("<i2")
     with wave.open(str(path), "wb") as w:
         w.setnchannels(1)
