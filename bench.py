@@ -457,7 +457,13 @@ def multi_model_pass_seconds(on_tpu: bool) -> float:
 def cpu_greedy_30s_seconds() -> float:
     """BASELINE measurement config #1: greedy sequential decode of a 30 s
     clip on the host CPU (the reference's CPU-inference use case), v32 model
-    shape with a small per-window budget."""
+    shape with a small per-window budget.
+
+    Requires an in-process CPU backend. The driver's bench environment
+    exposes only the TPU backend, so ``main()`` runs this config through
+    ``cpu_greedy_30s_subprocess`` (a ``JAX_PLATFORMS=cpu`` child process)
+    instead of calling it directly.
+    """
     import tempfile
     from pathlib import Path
 
@@ -466,7 +472,12 @@ def cpu_greedy_30s_seconds() -> float:
     from mapperatorinator_tpu.osu import build_vocabulary
     from tests.fixtures.tiny_checkpoint import make_wav
 
-    cpu = jax.devices("cpu")[0]
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError as e:
+        raise RuntimeError(
+            "no CPU backend in this process (use cpu_greedy_30s_subprocess)"
+        ) from e
     tmp = Path(tempfile.mkdtemp(prefix="bench_cpu_"))
     wav_warm = make_wav(tmp / "warm.wav", seconds=8.0)
     wav = make_wav(tmp / "clip.wav", seconds=30.0)
@@ -513,6 +524,40 @@ def cpu_greedy_30s_seconds() -> float:
             engine=engine, vocab=vocab, verbose=False,
         )
         return time.perf_counter() - t0
+
+
+def cpu_greedy_30s_subprocess(timeout: float = 1500.0) -> float:
+    """Run config #1 in a ``JAX_PLATFORMS=cpu`` child process.
+
+    The driver's bench environment exposes only the tunneled TPU backend
+    in-process (``jax.devices('cpu')`` raises), and the axon sitecustomize
+    force-pins ``jax_platforms`` at interpreter start — so the child re-pins
+    platforms via ``jax.config.update`` before any backend init (the same
+    recipe as ``__graft_entry__.dryrun_multichip`` and ``tests/conftest.py``).
+    """
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    child = (
+        "import jax, sys; jax.config.update('jax_platforms', 'cpu'); "
+        "sys.path.insert(0, %r); import bench; "
+        "print('CPU_GREEDY_SECONDS=%%.3f' %% bench.cpu_greedy_30s_seconds())" % repo
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", child], env=env, cwd=repo,
+        capture_output=True, text=True, timeout=timeout,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"cpu config subprocess rc={proc.returncode}: {proc.stderr[-2000:]}"
+        )
+    for line in proc.stdout.splitlines():
+        if line.startswith("CPU_GREEDY_SECONDS="):
+            return float(line.split("=", 1)[1])
+    raise RuntimeError(f"no CPU_GREEDY_SECONDS in subprocess output: {proc.stdout[-500:]}")
 
 
 def train_step_metrics(on_tpu: bool) -> dict:
@@ -622,65 +667,127 @@ def train_step_metrics(on_tpu: bool) -> dict:
 
 
 def main() -> None:
-    from mapperatorinator_tpu.config import compose, schema
-    from mapperatorinator_tpu.osu import build_vocabulary
+    """Measure every config with per-config isolation and ALWAYS emit one
+    JSON line, whatever subset succeeded.
 
-    on_tpu = jax.devices()[0].platform != "cpu"
-    if on_tpu:
-        dims = dict(d_model=768, layers=12, heads=12, ffn=3072)
-        src_len, tgt_len, gen_tokens = 2048, 2560, 512
-    else:  # CPU smoke shape
-        dims = dict(d_model=64, layers=2, heads=4, ffn=128)
-        src_len, tgt_len, gen_tokens = 256, 384, 64
+    Round-3 post-mortem: a crash in the last config discarded every number
+    already measured (``BENCH_r03.json`` rc=1, parsed=null). Now each
+    measurement is individually try/except-ed (failures recorded under
+    ``extra.errors``), the fragile CPU config runs LAST and in an isolated
+    ``JAX_PLATFORMS=cpu`` subprocess, and the final JSON is printed from a
+    ``finally`` block with exit code 0.
+    """
+    import signal
 
-    args = compose("configs/train", "v32", schema_cls=schema.TrainConfig)
-    args.data.src_seq_len = src_len
-    args.data.tgt_seq_len = tgt_len
-    vocab = build_vocabulary(args)
+    # a driver-side timeout delivers SIGTERM, which by default skips
+    # ``finally`` blocks — convert it to SystemExit so the partial JSON
+    # still gets emitted (rc 0)
+    def _terminate(signum, frame):
+        raise SystemExit(0)
 
-    engine = build_engine(vocab, src_len=src_len, tgt_len=tgt_len, **dims)
-    tok_s_b1 = decode_tok_s(engine, vocab, batch=1, src_len=src_len, gen_tokens=gen_tokens)
-    tok_s_b8 = decode_tok_s(engine, vocab, batch=8, src_len=src_len, gen_tokens=gen_tokens)
-    # full decode window (parallel-mode production shape; exercises the
-    # bucketed live-prefix cache attention)
-    full_gen = tgt_len - 160
-    tok_s_b8_full = decode_tok_s(engine, vocab, batch=8, src_len=src_len, gen_tokens=full_gen)
-    del engine
+    try:
+        signal.signal(signal.SIGTERM, _terminate)
+    except (ValueError, OSError):
+        pass  # non-main thread / unsupported platform
 
-    e2e = e2e_3min_seconds(on_tpu)          # BASELINE config #2
-    e2e_parallel = e2e_3min_seconds(on_tpu, parallel=True)  # TPU-first shape
-    dit_secs = dit_refine_seconds(on_tpu)   # BASELINE config #3
-    gm_secs = all_gamemodes_super_timing_seconds(on_tpu)  # config #4
-    mm_secs = multi_model_pass_seconds(on_tpu)            # config #5
-    cpu_secs = cpu_greedy_30s_seconds()                   # config #1
-    train_stats = train_step_metrics(on_tpu)
+    extra: dict = {}
+    errors: dict = {}
 
-    # the BASELINE headline is "osuT5 decode + DiT refinement" combined
-    combined = e2e + dit_secs
-    print(
-        json.dumps(
-            {
-                "metric": "end-to-end 3-min-song generation incl. DiT refinement (1 chip, v32 shape)",
-                "value": round(combined, 2),
-                "unit": "s",
-                "vs_baseline": None,
-                "extra": {
-                    "e2e_3min_seconds": round(e2e, 2),
-                    "e2e_3min_parallel_mode_seconds": round(e2e_parallel, 2),
-                    "dit_ddim_refine_3min_seconds": round(dit_secs, 2),
-                    "e2e_plus_dit_seconds": round(combined, 2),
-                    "decode_tok_s_batch1": round(tok_s_b1, 1),
-                    "decode_tok_s_batch8": round(tok_s_b8, 1),
-                    "decode_tok_s_batch8_full_window": round(tok_s_b8_full, 1),
-                    "all_gamemodes_super_timing_60s_seconds": round(gm_secs, 2),
-                    "mai_mod_classifier_rcomplexion_seconds": round(mm_secs, 2),
-                    "cpu_greedy_30s_seconds": round(cpu_secs, 2),
-                    **train_stats,
-                },
-            }
+    def measure(name, fn, round_to=2):
+        t0 = time.perf_counter()
+        try:
+            value = fn()
+            extra[name] = round(value, round_to) if isinstance(value, float) else value
+            print(f"bench: {name} = {extra[name]} ({time.perf_counter() - t0:.0f}s)",
+                  file=sys.stderr, flush=True)
+            return value
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"bench: {name} FAILED ({errors[name]})", file=sys.stderr, flush=True)
+            return None
+
+    e2e = dit_secs = None
+    try:
+        from mapperatorinator_tpu.config import compose, schema
+        from mapperatorinator_tpu.osu import build_vocabulary
+
+        on_tpu = jax.devices()[0].platform != "cpu"
+        if on_tpu:
+            dims = dict(d_model=768, layers=12, heads=12, ffn=3072)
+            src_len, tgt_len, gen_tokens = 2048, 2560, 512
+        else:  # CPU smoke shape
+            dims = dict(d_model=64, layers=2, heads=4, ffn=128)
+            src_len, tgt_len, gen_tokens = 256, 384, 64
+
+        args = compose("configs/train", "v32", schema_cls=schema.TrainConfig)
+        args.data.src_seq_len = src_len
+        args.data.tgt_seq_len = tgt_len
+        vocab = build_vocabulary(args)
+
+        engine = None
+        try:
+            engine = build_engine(vocab, src_len=src_len, tgt_len=tgt_len, **dims)
+        except Exception as e:
+            errors["build_engine"] = f"{type(e).__name__}: {e}"[:300]
+        if engine is not None:
+            measure("decode_tok_s_batch1",
+                    lambda: decode_tok_s(engine, vocab, batch=1, src_len=src_len,
+                                         gen_tokens=gen_tokens), round_to=1)
+            measure("decode_tok_s_batch8",
+                    lambda: decode_tok_s(engine, vocab, batch=8, src_len=src_len,
+                                         gen_tokens=gen_tokens), round_to=1)
+            # full decode window (parallel-mode production shape; exercises
+            # the bucketed live-prefix cache attention)
+            measure("decode_tok_s_batch8_full_window",
+                    lambda: decode_tok_s(engine, vocab, batch=8, src_len=src_len,
+                                         gen_tokens=tgt_len - 160), round_to=1)
+            del engine
+
+        e2e = measure("e2e_3min_seconds", lambda: e2e_3min_seconds(on_tpu))  # config #2
+        measure("e2e_3min_parallel_mode_seconds",
+                lambda: e2e_3min_seconds(on_tpu, parallel=True))  # TPU-first shape
+        dit_secs = measure("dit_ddim_refine_3min_seconds",
+                           lambda: dit_refine_seconds(on_tpu))  # config #3
+        measure("all_gamemodes_super_timing_60s_seconds",
+                lambda: all_gamemodes_super_timing_seconds(on_tpu))  # config #4
+        measure("mai_mod_classifier_rcomplexion_seconds",
+                lambda: multi_model_pass_seconds(on_tpu))  # config #5
+        train_stats = measure("train_step", lambda: train_step_metrics(on_tpu)) or {}
+        extra.pop("train_step", None)
+        for k, v in train_stats.items():
+            extra[k] = v
+        # config #1 last: the one config that needs a backend this process
+        # may not have — isolated in a JAX_PLATFORMS=cpu subprocess
+        measure("cpu_greedy_30s_seconds", cpu_greedy_30s_subprocess)
+    except Exception as e:  # infra failure before/around the matrix
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        errors["main"] = f"{type(e).__name__}: {e}"[:300]
+    finally:
+        # the BASELINE headline is "osuT5 decode + DiT refinement" combined
+        combined = (e2e + dit_secs) if (e2e is not None and dit_secs is not None) else None
+        if combined is not None:
+            extra["e2e_plus_dit_seconds"] = round(combined, 2)
+        if errors:
+            extra["errors"] = errors
+        print(
+            json.dumps(
+                {
+                    "metric": "end-to-end 3-min-song generation incl. DiT refinement (1 chip, v32 shape)",
+                    "value": round(combined, 2) if combined is not None else None,
+                    "unit": "s",
+                    "vs_baseline": None,
+                    "extra": extra,
+                }
+            ),
+            flush=True,
         )
-    )
 
 
 if __name__ == "__main__":
     main()
+    sys.exit(0)

@@ -564,16 +564,38 @@ def build_vocabulary(args=None) -> Vocabulary:
     )
 
 
+def _resolve_table_path(path_str: str) -> Optional[Path]:
+    """Resolve a config-named metadata table path.
+
+    Shipped configs name tables as ``datasets/<file>`` and reference-era
+    configs as ``../../../datasets/<file>`` (hydra run-dir relative); both
+    must resolve from any cwd against the repo checkout's ``datasets/``
+    directory. Returns the first existing candidate, else None.
+    """
+    p = Path(path_str)
+    repo_root = Path(__file__).resolve().parents[2]
+    candidates = [p]
+    if not p.is_absolute():
+        candidates.append(repo_root / p)
+        candidates.append(repo_root / "datasets" / p.name)
+    for c in candidates:
+        if c.exists():
+            return c
+    return None
+
+
 def _load_metadata_indices(args) -> dict:
     """Dataset-metadata-derived lookup tables sizing the MAPPER/DESCRIPTOR/
     STYLE vocab ranges (reference: tokenizer.py:474-701).
 
     Local file sources (mappers JSON, descriptors CSV, tags-metadata JSON)
     are implemented; dataset-repo scans (mmrs parquet, HF web streaming) are
-    deferred to the data layer and yield empty tables with a warning.
+    deferred to the data layer. A config that names a table path that does
+    not exist is a hard error (reference parity: tokenizer.py:565-571,
+    690-693) — a silently empty vocab would produce a layout incompatible
+    with checkpoints trained with the table. An empty path string means
+    "explicitly no table" and yields empty tables without complaint.
     """
-    import warnings
-
     out = {
         "beatmap_idx": {},
         "beatmap_mapper": {},
@@ -586,22 +608,26 @@ def _load_metadata_indices(args) -> dict:
     data = args.data
 
     if args.model.do_mapper_embed or data.add_mapper_token:
-        path = Path(getattr(data, "mappers_path", "") or "")
-        if path.name and path.exists():
+        named = getattr(data, "mappers_path", "") or ""
+        if named:
+            path = _resolve_table_path(named)
+            if path is None:
+                raise ValueError(f"mappers_path {named} not found")
             with open(path, encoding="utf-8") as f:
                 raw = json.load(f)
             out["beatmap_mapper"] = {int(k): v for k, v in raw.items()}
             unique_user_ids = list(set(out["beatmap_mapper"].values()))
             out["mapper_idx"] = {uid: i for i, uid in enumerate(unique_user_ids)}
             out["num_mapper_classes"] = len(unique_user_ids)
-        elif path.name:
-            warnings.warn(f"mappers_path {path} not found; mapper vocab empty")
 
     if data.add_descriptors:
         source = getattr(data, "descriptor_source", "omdb")
         if source == "local" or data.dataset_type == "ors":
-            path = Path(getattr(data, "descriptors_path", "") or "")
-            if path.name and path.exists():
+            named = getattr(data, "descriptors_path", "") or ""
+            if named:
+                path = _resolve_table_path(named)
+                if path is None:
+                    raise ValueError(f"descriptors_path {named} not found")
                 with open(path, encoding="utf-8") as f:
                     lines = f.readlines()
                 for line in lines:
@@ -612,17 +638,16 @@ def _load_metadata_indices(args) -> dict:
                     bid_str, name = line.strip().split(",")
                     out["beatmap_descriptors"].setdefault(int(bid_str), []).append(out["descriptor_idx"][name])
                 out["num_descriptor_classes"] = len(out["descriptor_idx"])
-            elif path.name:
-                warnings.warn(f"descriptors_path {path} not found; descriptor vocab empty")
         elif source in ("web", "user_tags"):
-            path = Path(getattr(data, "tags_metadata_path", "") or "")
-            if path.name and path.exists():
+            named = getattr(data, "tags_metadata_path", "") or ""
+            if named:
+                path = _resolve_table_path(named)
+                if path is None:
+                    raise ValueError(f"tags_metadata_path {named} not found")
                 with open(path, encoding="utf-8") as f:
                     tags = json.load(f)["tags"]
                 out["descriptor_idx"] = {t["name"]: t["id"] for t in tags}
                 out["num_descriptor_classes"] = max(out["descriptor_idx"].values()) + 1
-            elif path.name:
-                warnings.warn(f"tags_metadata_path {path} not found; descriptor vocab empty")
         # per-beatmap descriptor lists for 'web'/'omdb' come from the data
         # layer's dataset scan, not needed for vocab layout.
 

@@ -67,7 +67,7 @@ def test_vocab_layout_matches_reference(ref, name, tmp_path, monkeypatch):
         mappers.write_text(json.dumps({"101": 11, "102": 22, "103": 11, "104": 33}))
         for c in (cfg, ref_cfg):
             c.data.mappers_path = str(mappers)
-            c.data.tags_metadata_path = "/root/reference/datasets/tags_2026.json"
+            c.data.tags_metadata_path = "/root/repo/datasets/tags_2026.json"
         # skip the reference's HF-dataset descriptor scan (network); it does
         # not affect vocab layout, only per-beatmap lookup tables.
         monkeypatch.setattr(
@@ -114,7 +114,7 @@ def _setup_v32(ref, cfg, ref_cfg, tmp_path, monkeypatch):
         if c is None:
             continue
         c.data.mappers_path = str(mappers)
-        c.data.tags_metadata_path = "/root/reference/datasets/tags_2026.json"
+        c.data.tags_metadata_path = "/root/repo/datasets/tags_2026.json"
     if ref is not None:
         monkeypatch.setattr(
             ref.tokenizer.Tokenizer,
@@ -220,3 +220,36 @@ def test_own_recipes_match_reference_recipes(name):
     assert v_ours.context_sos == v_theirs.context_sos
     # and the model dispatch resolves the same backbone family
     assert ours.model.name == theirs.model.name
+
+
+@pytest.mark.parametrize("name", ["v28", "v29", "v30", "v31", "v32", "v32-mini_ft"])
+def test_shipped_configs_compose_standalone(name, monkeypatch, tmp_path):
+    """A clean checkout must compose every shipped train config into a vocab
+    with the real vendored metadata tables (datasets/) from any cwd — no
+    /root/reference path, no empty-vocab fallback, no warnings."""
+    import warnings
+
+    monkeypatch.chdir(tmp_path)  # prove resolution doesn't depend on cwd
+    cfg = compose("/root/repo/configs/train", name, schema_cls=schema.TrainConfig)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        vocab = build_vocabulary(cfg)
+    # mmrs configs source mapper ids from the dataset's parquet metadata
+    # (reference tokenizer.py:587-596), not from a shipped table
+    if cfg.data.add_mapper_token and cfg.data.dataset_type in ("ors", "web"):
+        assert vocab.num_mapper_classes > 0, "mapper table did not load"
+    if cfg.data.add_descriptors and cfg.data.descriptor_source in ("web", "user_tags"):
+        assert vocab.num_descriptor_classes > 100, "tags table did not load"
+
+
+def test_missing_metadata_table_is_hard_error():
+    """A config naming a nonexistent table path must raise (reference
+    parity: tokenizer.py:565-571,690-693), not warn into an empty vocab."""
+    cfg = compose("/root/repo/configs/train", "v32", schema_cls=schema.TrainConfig)
+    cfg.data.mappers_path = "/nonexistent/beatmap_users.json"
+    with pytest.raises(ValueError, match="mappers_path"):
+        build_vocabulary(cfg)
+    cfg = compose("/root/repo/configs/train", "v32", schema_cls=schema.TrainConfig)
+    cfg.data.tags_metadata_path = "/nonexistent/tags.json"
+    with pytest.raises(ValueError, match="tags_metadata_path"):
+        build_vocabulary(cfg)

@@ -199,7 +199,7 @@ def _datasets_dirs() -> list[Path]:
     env = os.environ.get("MAPPERATORINATOR_DATASETS")
     if env:
         dirs.append(Path(env))
-    dirs += [REPO_ROOT / "datasets", Path("/root/reference/datasets")]
+    dirs.append(REPO_ROOT / "datasets")
     return dirs
 
 
