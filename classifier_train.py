@@ -33,12 +33,16 @@ def build_classifier(args, vocab):
         decoder_heads=m.decoder_heads,
         encoder_ffn=m.encoder_ffn,
         decoder_ffn=m.decoder_ffn,
-        max_source_positions=args.data.src_seq_len // 2,
+        # reference parity (classifier/libs/model/model.py:118-127): with
+        # input_features=False (default) the embedded mel bypasses the conv
+        # stem entirely (inputs_embeds path), so positions span full frames
+        max_source_positions=(args.data.src_seq_len // 2 if m.input_features
+                              else args.data.src_seq_len),
         max_target_positions=args.data.tgt_seq_len,
         num_mel_bins=m.spectrogram.n_mels,
-        position_scheme="whisper_abs",
-        norm="layer",
-        conv_stem=True,
+        position_scheme=getattr(m, "position_scheme", "whisper_abs"),
+        norm=getattr(m, "norm", "layer"),
+        conv_stem=bool(m.input_features),
     )
     cfg = ClassifierConfig(
         backbone=backbone,
@@ -91,6 +95,16 @@ def main(argv=None):
         frames=jnp.zeros((1, hop * (args.data.src_seq_len - 1)), jnp.float32),
         decoder_input_ids=jnp.ones((1, 8), jnp.int32),
     )
+
+    if args.pretrained_path:
+        # transfer-learn the towers from a pretrained osuT5 checkpoint
+        # (reference: classifier/train.py:19-41,58-59)
+        from mapperatorinator_tpu.models.classifier import transfer_from_pretrained
+        from mapperatorinator_tpu.models.io import load_checkpoint
+
+        _, pre_params, _ = load_checkpoint(args.pretrained_path)
+        params = transfer_from_pretrained(params, pre_params)
+        print(f"Initialized towers from pretrained checkpoint {args.pretrained_path}")
 
     schedule = build_schedule(args.optim)
     tx = optax.chain(optax.clip_by_global_norm(args.optim.grad_clip),

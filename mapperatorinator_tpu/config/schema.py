@@ -387,6 +387,10 @@ class ClassifierModelConfig:
     decoder_ffn: int = 2048
     classifier_proj_size: int = 256
     input_features: bool = False
+    # backbone scheme — set to the pretrained checkpoint's family when
+    # transfer-learning (e.g. rope/rms for a v32 osuT5 checkpoint)
+    position_scheme: str = "whisper_abs"
+    norm: str = "layer"
     # vocab-construction flags (the classifier labels need the mapper tables)
     do_mapper_embed: bool = True
     do_style_embed: bool = False

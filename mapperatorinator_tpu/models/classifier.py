@@ -133,3 +133,59 @@ class OsuR(nn.Module):
             loss = nll.mean()
 
         return {"loss": loss, "logits": logits}
+
+
+# -- transfer learning from a pretrained osuT5 checkpoint ---------------------
+
+# reference ignore list (classifier/train.py:22-29): the decoder token /
+# position embeddings and LM head belong to the generation vocab, the
+# decoder_embedder to the classifier's own input vocab, loss weights to the
+# osuT5 objective — none transfer.
+_TRANSFER_IGNORE = (
+    ("transformer", "decoder", "embed_tokens"),
+    ("transformer", "decoder", "embed_positions"),
+    ("transformer", "proj_out"),
+    ("decoder_embedder",),
+    ("loss_fn",),
+)
+
+
+def transfer_from_pretrained(classifier_params, pretrained_params) -> dict:
+    """Initialize the classifier's towers from an osuT5 checkpoint
+    (reference ``classifier/train.py:19-41,58-59``): graft every leaf whose
+    path exists in both trees — the shared encoder/decoder stacks and the
+    ``encoder_embedder`` projection — except the reference's ignore list.
+    Classifier-only leaves (projector, classifier head) keep their fresh
+    init (torch ``load_state_dict(strict=False)`` semantics); a shape
+    mismatch on a transferable path raises, exactly as torch would.
+    """
+    import flax.traverse_util as traverse
+
+    flat_clf = traverse.flatten_dict(classifier_params["params"])
+    flat_pre = traverse.flatten_dict(pretrained_params["params"])
+
+    grafted = 0
+    out = {}
+    for key, value in flat_clf.items():
+        if any(key[: len(ig)] == ig for ig in _TRANSFER_IGNORE):
+            out[key] = value
+            continue
+        src = flat_pre.get(key)
+        if src is None:
+            out[key] = value
+            continue
+        if tuple(src.shape) != tuple(value.shape):
+            raise ValueError(
+                f"pretrained checkpoint shape mismatch at {'/'.join(key)}: "
+                f"{tuple(src.shape)} vs classifier {tuple(value.shape)} — "
+                "configure the classifier backbone to the checkpoint's dims"
+            )
+        out[key] = jnp.asarray(src, dtype=value.dtype) if hasattr(value, "dtype") else src
+        grafted += 1
+    if grafted == 0:
+        raise ValueError(
+            "no transferable parameters found in the pretrained checkpoint "
+            "(wrong backbone family/scheme for this classifier config?)"
+        )
+    rest = {k: v for k, v in dict(classifier_params).items() if k != "params"}
+    return {"params": traverse.unflatten_dict(out), **rest}

@@ -157,3 +157,78 @@ def test_classifier_dataset_windows(ors_root):
     # both mappers appear
     labels = {int(s["labels"]) for s in samples}
     assert labels == {vocab.mapper_idx[42], vocab.mapper_idx[43]}
+
+
+def test_transfer_from_pretrained_osut5(tmp_path):
+    """Classifier tower init from a pretrained osuT5 checkpoint (reference
+    classifier/train.py:19-41): shared encoder/decoder stacks graft, the
+    reference's ignore list (decoder embeddings, LM head, decoder_embedder)
+    stays fresh, classifier-only heads stay fresh, shape mismatch raises."""
+    import classifier_train
+    from mapperatorinator_tpu.models.classifier import transfer_from_pretrained
+    from mapperatorinator_tpu.models.io import load_checkpoint
+    from tests.fixtures.tiny_checkpoint import make_tiny_checkpoint
+
+    ckpt = make_tiny_checkpoint(tmp_path / "ckpt")
+    _, pre_params, _ = load_checkpoint(ckpt)
+
+    args = compose("/root/repo/configs/classifier", "train_v1",
+                   schema_cls=schema.ClassifierConfig)
+    # match the tiny v32-arch checkpoint's family and dims
+    args.model.position_scheme = "rope"
+    args.model.norm = "rms"
+    args.model.d_model, args.model.encoder_ffn, args.model.decoder_ffn = 64, 128, 128
+    args.model.encoder_layers = args.model.decoder_layers = 2
+    args.model.encoder_heads = args.model.decoder_heads = 4
+    args.model.spectrogram.n_mels = 128
+    args.data.mappers_path = "datasets/beatmap_users.json"
+
+    vocab = build_vocabulary(args)
+    model = classifier_train.build_classifier(args, vocab)
+    hop = args.model.spectrogram.hop_length
+    fresh = model.init(
+        jax.random.PRNGKey(0),
+        frames=jnp.zeros((1, hop * (args.data.src_seq_len - 1)), jnp.float32),
+        decoder_input_ids=jnp.ones((1, 8), jnp.int32),
+    )
+    params = transfer_from_pretrained(fresh, pre_params)
+
+    import flax.traverse_util as traverse
+
+    flat = traverse.flatten_dict(params["params"])
+    flat_fresh = traverse.flatten_dict(fresh["params"])
+    flat_pre = traverse.flatten_dict(pre_params["params"])
+
+    # encoder + decoder stacks grafted from the checkpoint
+    grafted = [k for k in flat
+               if k[:2] == ("transformer", "encoder") or k[:2] == ("transformer", "decoder")]
+    assert grafted
+    n_equal = 0
+    for k in grafted:
+        if k in flat_pre and tuple(flat_pre[k].shape) == tuple(flat[k].shape):
+            np.testing.assert_array_equal(np.asarray(flat[k]), np.asarray(flat_pre[k]))
+            n_equal += 1
+    assert n_equal >= 10, f"only {n_equal} tower leaves grafted"
+
+    # ignore list: the decoder_embedder keeps its fresh init even though the
+    # checkpoint carries a same-shaped one
+    key = ("decoder_embedder", "embedding")
+    if key in flat_pre and flat_pre[key].shape == flat[key].shape:
+        assert not np.array_equal(np.asarray(flat[key]), np.asarray(flat_pre[key]))
+    np.testing.assert_array_equal(np.asarray(flat[key]), np.asarray(flat_fresh[key]))
+
+    # classifier-only heads stay fresh (strict=False semantics)
+    for head in ("projector", "classifier"):
+        k = (head, "kernel")
+        np.testing.assert_array_equal(np.asarray(flat[k]), np.asarray(flat_fresh[k]))
+
+    # a transferable-path shape mismatch raises (torch parity)
+    args.model.d_model, args.model.encoder_heads, args.model.decoder_heads = 32, 2, 2
+    small = classifier_train.build_classifier(args, vocab)
+    fresh_small = small.init(
+        jax.random.PRNGKey(0),
+        frames=jnp.zeros((1, hop * (args.data.src_seq_len - 1)), jnp.float32),
+        decoder_input_ids=jnp.ones((1, 8), jnp.int32),
+    )
+    with pytest.raises(ValueError, match="shape mismatch"):
+        transfer_from_pretrained(fresh_small, pre_params)
