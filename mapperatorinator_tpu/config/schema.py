@@ -249,6 +249,15 @@ class ParallelConfig:
     # (checkpoint_dots_with_no_batch_dims_saveable) — faster backward for a
     # modest memory bump
     remat_policy: str = "full"
+    # Multi-host coordinates (torchrun multi-node equivalent, SURVEY §2.7
+    # item 1): set coordinator_address=host:port num_processes=N process_id=i
+    # on every process and train.py spans one mesh over all of them, with the
+    # process (DCN) boundary on the leading data axis. All None = single host.
+    coordinator_address: Optional[str] = None
+    num_processes: Optional[int] = None
+    process_id: Optional[int] = None
+    # cross-process collectives for the CPU backend (virtual-device dryruns)
+    cpu_collectives: str = "gloo"
 
 
 @dataclass

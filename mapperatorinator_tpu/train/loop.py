@@ -60,6 +60,15 @@ def add_prefix(prefix: str, stats: dict) -> dict:
     return {f"{prefix}/{k}": v for k, v in stats.items()}
 
 
+def _host_value(x) -> np.ndarray:
+    """Host read of a (fully-replicated) value that may be a multi-process
+    global array spanning non-addressable devices — read a local shard (every
+    shard carries the same value: step counters and psum'd metrics)."""
+    if hasattr(x, "is_fully_addressable") and not x.is_fully_addressable:
+        return np.asarray(x.addressable_data(0))
+    return np.asarray(x)
+
+
 def acc_range(preds, labels, start_index, end_index) -> np.ndarray:
     index = (start_index <= labels) & (labels < end_index)
     return (preds[index] == labels[index]).astype(np.float32)
@@ -282,7 +291,7 @@ def train(
     flops_per_step = _estimate_step_flops(state)
     peak_flops = _device_peak_flops() * max(jax.device_count(), 1)
 
-    step = int(state.step)
+    step = int(_host_value(state.step))
     while step < args.optim.total_steps:
         # re-create the batch stream each epoch; a one-shot iterable would
         # otherwise exhaust and spin forever below total_steps
@@ -299,9 +308,9 @@ def train(
 
             rng, sub = jax.random.split(rng)
             state, metrics = train_step(state, batch, sub)
-            step = int(state.step)
+            step = int(_host_value(state.step))
 
-            averager.update({k: np.asarray(v) for k, v in metrics.items()})
+            averager.update({k: _host_value(v) for k, v in metrics.items()})
 
             if profiling and step >= args.profile.wait + args.profile.warmup + args.profile.active:
                 jax.profiler.stop_trace()

@@ -5,6 +5,14 @@
 Composes the training config, builds the vocabulary/parser/dataset, the
 Mapperatorinator model, optimizer and mesh, auto-resumes from the latest
 checkpoint, and runs the training loop with eval/logging/checkpoint hooks.
+
+Multi-host (the reference's torchrun multi-node story, SURVEY §2.7 item 1):
+launch the same command on every host with
+``parallel.coordinator_address=host:port parallel.num_processes=N
+parallel.process_id=i``. One global mesh spans all processes (DCN outermost
+on the data axis), each process feeds only its shard of every batch, and
+``checkpoint_path`` must point at the SAME (shared-filesystem) directory on
+all hosts — orbax coordinates the distributed save across processes.
 """
 
 from __future__ import annotations
@@ -26,6 +34,7 @@ def build_model_and_data(args, mesh=None):
     from mapperatorinator_tpu.models import Mapperatorinator
     from mapperatorinator_tpu.models.mapperatorinator import build_config
     from mapperatorinator_tpu.osu import BeatmapParser, build_vocabulary
+    from mapperatorinator_tpu.parallel import process_local_batch_size, shard_iterator_by_process
     from mapperatorinator_tpu.train.data import build_dataset
     from mapperatorinator_tpu.train.data.batching import batch_iterator
 
@@ -34,13 +43,17 @@ def build_model_and_data(args, mesh=None):
     config = build_config(args, vocab)
     model = Mapperatorinator(config)
 
+    # multi-host: each process loads only its 1/process_count of every batch
+    # (round-robin example sharding, the DistributedSampler equivalent)
+    local_batch_size = process_local_batch_size(args.optim.batch_size)
+
     def make_batches(test: bool):
         from mapperatorinator_tpu.train.data.batching import prefetch_iterator
 
         dataset = build_dataset(args.data, parser, vocab, test=test)
         batches = batch_iterator(
-            dataset,
-            args.optim.batch_size,
+            shard_iterator_by_process(iter(dataset)),
+            local_batch_size,
             balancer_buffer_size=args.dataloader.balancer_buffer_size if not test else 0,
             drop_last=args.dataloader.drop_last,
         )
@@ -81,9 +94,18 @@ def main(argv=None):
 
     args = compose(REPO_ROOT / "configs" / "train", config_name, overrides=overrides, schema_cls=schema.TrainConfig)
 
-    mesh = make_mesh(args.parallel)
+    # multi-host: one flag set (parallel.coordinator_address/num_processes/
+    # process_id) joins this process to a global mesh over DCN+ICI
+    # (reference equivalent: torchrun multi-node DDP, SURVEY §2.7 item 1)
+    from mapperatorinator_tpu.parallel import make_global_mesh, maybe_initialize
+
+    maybe_initialize(args.parallel)
+    mesh = make_global_mesh(args.parallel)
     n_devices = mesh.devices.size
-    print(f"Training on {n_devices} device(s): {jax.devices()[0].platform}")
+    is_main = jax.process_index() == 0
+    if is_main:
+        print(f"Training on {n_devices} device(s) across {jax.process_count()} "
+              f"process(es): {jax.devices()[0].platform}")
 
     model, params, vocab, make_batches = build_model_and_data(args)
 
@@ -150,8 +172,15 @@ def main(argv=None):
     else:
         base_step = make_train_step(model, tx, mesh=mesh, grad_acc=args.optim.grad_acc)
 
-    def sharded_step(state, batch, rng):
-        return base_step(state, shard_batch(mesh, batch), rng)
+    if jax.process_count() > 1:
+        from mapperatorinator_tpu.parallel import make_global_batch
+
+        def sharded_step(state, batch, rng):
+            # batch holds only this process's rows; assemble the global array
+            return base_step(state, make_global_batch(mesh, batch), rng)
+    else:
+        def sharded_step(state, batch, rng):
+            return base_step(state, shard_batch(mesh, batch), rng)
 
     eval_step = make_eval_step(model)
     if args.enable_lora:
@@ -159,11 +188,15 @@ def main(argv=None):
 
         _eval_base = eval_step
         eval_step = lambda p, batch: _eval_base(merge_lora(base_params, p, alpha=lora_alpha), batch)  # noqa: E731
-    logger = MetricsLogger("logs", log_with=args.logging.log_with)
+    # only process 0 logs; secondary hosts keep a per-process dir so nothing
+    # contends on the shared filesystem
+    logger = (MetricsLogger("logs", log_with=args.logging.log_with) if is_main
+              else MetricsLogger(f"logs/proc{jax.process_index()}", log_with=None))
 
     # save the tokenizer alongside checkpoints (reference registers it for
     # checkpointing; ours serializes once - it is deterministic given config)
-    vocab.save_pretrained(ckpt_dir)
+    if is_main:
+        vocab.save_pretrained(ckpt_dir)
 
     state = train(
         train_step=sharded_step,
