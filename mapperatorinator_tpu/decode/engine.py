@@ -375,7 +375,111 @@ class DecodeEngine:
             out.append(arr[:H, :T])
         return tuple(out)
 
+    def generate_forced(
+        self,
+        encoder_states,
+        decoder_input_ids: np.ndarray,
+        pipeline: LogitsPipeline,
+        forced_tokens: np.ndarray,
+        decoder_attention_mask: Optional[np.ndarray] = None,
+        cfg_scale: float = 1.0,
+    ) -> np.ndarray:
+        """Forced-decode parity mode: run the SAME incremental path as
+        :meth:`generate` (prefill + per-step ``decode_step`` + the full logits
+        pipeline with carried state), but take each step's token from
+        ``forced_tokens`` instead of the sampler, and return the fp32
+        processed scores ``(B, T, V)`` the sampler would have drawn from.
+
+        This is the test-only HF-sampling-order mode (SURVEY.md §7 hard part
+        1): exact torch-RNG equality is impossible cross-framework, but
+        drawing ``torch.multinomial`` from these scores in HF's order must
+        reproduce HF generate's sampled tokens exactly, which pins the whole
+        sampled path (KV cache evolution included) at the multinomial input.
+
+        With ``cfg_scale > 1`` rows are the folded dual batch [negative;
+        positive] and ``forced_tokens`` has ``B // 2`` rows (both halves are
+        fed the same token, like sampling).
+        """
+        forced = np.asarray(forced_tokens, np.int32)
+        B, P = decoder_input_ids.shape
+        T = forced.shape[1]
+        use_cfg = cfg_scale > 1.0
+        if decoder_attention_mask is None:
+            decoder_attention_mask = decoder_input_ids != self.pad_token_id
+
+        key = ("forced", B, P, T, pipeline, cfg_scale)
+        fn = self._generate_fn_cache.get(key)
+        if fn is None:
+            fn = self._build_forced_fn(B, P, T, pipeline, cfg_scale)
+            self._generate_fn_cache[key] = fn
+        scores = fn(
+            self.params,
+            jnp.asarray(encoder_states),
+            jnp.asarray(decoder_input_ids, jnp.int32),
+            jnp.asarray(decoder_attention_mask, bool),
+            jnp.asarray(forced),
+        )
+        return np.asarray(scores)
+
     # -- compiled internals -------------------------------------------------------
+
+    def _build_forced_fn(self, B: int, P: int, T: int, pipeline: LogitsPipeline, cfg_scale: float):
+        model = self.model
+        pad_id = self.pad_token_id
+        use_cfg = cfg_scale > 1.0
+        half = B // 2 if use_cfg else B
+        buffer_len = P + T
+
+        def apply(params, method, *args, **kw):
+            return model.apply(params, *args, method=getattr(type(model), method), **kw)
+
+        @jax.jit
+        def forced_fn(params, encoder_states, prompt_ids, prompt_mask, forced):
+            cache = apply(params, "init_cache", B, buffer_len, encoder_states)
+            tokens = jnp.full((B, buffer_len), pad_id, jnp.int32).at[:, :P].set(prompt_ids)
+            attn = jnp.zeros((B, buffer_len), bool).at[:, :P].set(prompt_mask)
+            prompt_positions = jnp.clip(jnp.cumsum(prompt_mask, axis=1) - 1, 0)
+            n_valid = prompt_mask.sum(axis=1).astype(jnp.int32)
+            k_positions = jnp.maximum(
+                jnp.arange(buffer_len)[None, :] - (P - n_valid)[:, None], 0
+            )
+
+            prompt_embeds = apply(params, "embed_tokens", prompt_ids)
+            logits, cache = apply(
+                params, "decode_step", prompt_embeds, cache, 0,
+                self_mask=attn[:, None, None, :], positions=prompt_positions,
+                k_positions=k_positions,
+            )
+            last_logits = logits[:, -1].astype(jnp.float32)
+            lstate = pipeline.init_state(half)
+
+            def body(carry, forced_t):
+                cache, attn, tokens, cur_len, n_valid, lstate, last_logits = carry
+                if use_cfg:
+                    neg, pos = last_logits[:half], last_logits[half:]
+                    scores_in = pos + (neg - pos) * cfg_scale
+                else:
+                    scores_in = last_logits
+                lstate, scores = pipeline(lstate, scores_in)
+                lstate = pipeline.update_state(lstate, forced_t)
+                written = jnp.concatenate([forced_t, forced_t]) if use_cfg else forced_t
+                tokens = jax.lax.dynamic_update_slice(tokens, written[:, None], (0, cur_len))
+                attn = jax.lax.dynamic_update_slice(attn, jnp.ones((B, 1), bool), (0, cur_len))
+                last_embeds = apply(params, "embed_tokens", written[:, None])
+                logits, cache = apply(
+                    params, "decode_step", last_embeds, cache, cur_len,
+                    self_mask=attn[:, None, None, :], positions=n_valid[:, None],
+                    k_positions=k_positions,
+                )
+                carry = (cache, attn, tokens, cur_len + 1, n_valid + 1, lstate,
+                         logits[:, -1].astype(jnp.float32))
+                return carry, scores
+
+            carry = (cache, attn, tokens, jnp.asarray(P, jnp.int32), n_valid, lstate, last_logits)
+            _, scores = jax.lax.scan(body, carry, forced.T)  # (T, half, V)
+            return jnp.transpose(scores, (1, 0, 2))
+
+        return forced_fn
 
     def _build_beam_fn(self, B: int, P: int, max_length: int, pipeline: LogitsPipeline,
                        N: int, length_penalty: float, cfg_scale: float = 1.0):

@@ -791,3 +791,292 @@ def test_beam_cfg_generate_token_parity(ref, tmp_path, monkeypatch):
     n = min(len(ref_gen), len(my_gen))
     assert n >= 10
     assert my_gen[:n] == ref_gen[:n], f"ours {my_gen[:n]} != reference {ref_gen[:n]}"
+
+
+# ---------------------------------------------------------------------------
+# Sampled-path parity (VERDICT r3 item 7). Exact torch-RNG equality is
+# impossible cross-framework, so the default do_sample path (temperature 0.9 /
+# top_p 0.9, configs/inference/v32.yaml:11-14) is pinned at the multinomial
+# INPUT instead: run HF sampled generate capturing its per-step processed
+# scores, replay HF's sampled tokens through our engine's forced-decode mode
+# (same incremental KV-cached path + logits pipeline), then (a) the processed
+# scores must match — same top-p support set, same values — and (b) drawing
+# torch.multinomial from OUR scores with HF's RNG stream must reproduce HF's
+# sampled tokens exactly.
+# ---------------------------------------------------------------------------
+
+
+def _assert_sampled_scores_match(hf_tokens, hf_scores, my_scores, prompt_len,
+                                 eos_ids, rng_seed, *, atol=1e-3):
+    import torch
+
+    B, T, V = hf_scores.shape
+    assert my_scores.shape == (B, T, V)
+
+    # (a) processed-scores parity: identical top-p support, close kept values
+    hf_cut = np.isneginf(hf_scores)
+    my_cut = np.isneginf(my_scores)
+    mismatched_support = (hf_cut != my_cut).sum()
+    assert mismatched_support == 0, (
+        f"top-p support sets differ at {mismatched_support} positions")
+    keep = ~hf_cut
+    max_diff = np.abs(hf_scores[keep] - my_scores[keep]).max()
+    assert max_diff < atol, f"kept processed scores differ by {max_diff}"
+
+    # (b) HF-sampling-order redraw from OUR scores == HF's sampled tokens
+    torch.manual_seed(rng_seed)
+    finished = np.zeros(B, bool)
+    eos_arr = np.asarray(list(eos_ids))
+    for t in range(T):
+        probs = torch.softmax(torch.tensor(my_scores[:, t]), dim=-1)
+        draw = torch.multinomial(probs, num_samples=1)[:, 0].numpy()
+        expect = hf_tokens[:, prompt_len + t]
+        live = ~finished
+        assert (draw[live] == expect[live]).all(), (
+            f"step {t}: redraw {draw[live]} != HF {expect[live]}")
+        finished |= np.isin(expect, eos_arr)
+
+
+def _run_sampled_parity(ref, cfg, ref_cfg, family, monkeypatch, attn="sdpa",
+                        normalize_weights=False, n_new=40, seed=11,
+                        rng_seed=123, temperature=0.9, top_p=0.9):
+    """Sampled-parity recipe for the wrapper families: HF sampled generate
+    with the reference's processor assembly (server.py:105-134) vs our
+    forced-decode scores."""
+    import torch
+    from transformers import LogitsProcessorList, TemperatureLogitsWarper
+
+    from osuT5.osuT5.inference import server as ref_server
+    from osuT5.osuT5.inference.logit_processors import MonotonicTimeShiftLogitsProcessor
+    from osuT5.osuT5.utils import model_utils as ref_model_utils
+
+    _patch_hub_lookups(monkeypatch)
+    ref_tok = ref.tokenizer.Tokenizer(ref_cfg)
+    _mel_shim(cfg, monkeypatch)
+
+    torch.manual_seed(0)
+    ref_model = ref_model_utils._get_model(ref_cfg, ref_tok, torch.float32, attn).eval()
+    if normalize_weights:
+        ref_model.transformer.norm_weights_()
+
+    vocab = build_vocabulary(cfg)
+    assert vocab.vocab_size_out == ref_tok.vocab_size_out
+
+    from mapperatorinator_tpu.decode import DecodeEngine
+    from mapperatorinator_tpu.decode.logits import build_logits_pipeline
+    from mapperatorinator_tpu.models import Mapperatorinator
+    from mapperatorinator_tpu.models.convert import convert_mapperatorinator_state_dict
+    from mapperatorinator_tpu.models.mapperatorinator import build_config
+
+    my_cfg = build_config(cfg, vocab)
+    model = Mapperatorinator(my_cfg)
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = {"params": convert_mapperatorinator_state_dict(sd, my_cfg, family=family)}
+
+    rng = np.random.default_rng(seed)
+    hop = cfg.model.spectrogram.hop_length
+    frames = (rng.standard_normal((2, hop * (cfg.data.src_seq_len - 1))) * 0.1).astype(np.float32)
+    has_cond = bool(cfg.model.do_difficulty_embed)
+    difficulty = np.asarray([4.5, 6.0], np.float32)
+    mapper_idx = np.asarray([-1, -1], np.int64)
+    song_position = np.asarray([[0.0, 0.25], [0.25, 0.5]], np.float32)
+
+    sos = ref_tok.sos_id
+    prompt = np.asarray([[sos], [sos]], np.int64)
+
+    model_kwargs = dict(
+        inputs=torch.tensor(frames),
+        decoder_input_ids=torch.tensor(prompt),
+        decoder_attention_mask=torch.ones_like(torch.tensor(prompt)),
+    )
+    if has_cond:
+        model_kwargs.update(
+            difficulty=torch.tensor(difficulty),
+            mapper_idx=torch.tensor(mapper_idx),
+            song_position=torch.tensor(song_position),
+        )
+
+    # the reference's processor assembly for the default sampled path:
+    # custom [monotonic, temperature], HF appends the top-p warper after
+    processors = LogitsProcessorList([
+        MonotonicTimeShiftLogitsProcessor(ref_tok),
+        TemperatureLogitsWarper(temperature),
+    ])
+    eos_ids = ref_server.get_eos_token_id(ref_tok)
+    torch.manual_seed(rng_seed)
+    with torch.no_grad():
+        out = ref_model.generate(
+            **model_kwargs,
+            do_sample=True, num_beams=1, top_p=top_p, top_k=0,
+            max_length=prompt.shape[1] + n_new,
+            pad_token_id=ref_tok.pad_id,
+            use_cache=True,
+            logits_processor=processors,
+            eos_token_id=eos_ids,
+            output_scores=True, return_dict_in_generate=True,
+        )
+    hf_tokens = out.sequences.numpy()
+    hf_scores = torch.stack(out.scores, dim=1).numpy()  # (B, T, V) processed
+    T = hf_scores.shape[1]
+    P = prompt.shape[1]
+
+    engine = DecodeEngine(model, params, max_length=P + n_new, pad_token_id=vocab.pad_id)
+    cond = dict(
+        difficulty=jnp.asarray(difficulty),
+        mapper_idx=jnp.asarray(mapper_idx, jnp.int32),
+        song_position=jnp.asarray(song_position),
+    ) if has_cond else None
+    enc = engine.encode_with_cond(jnp.asarray(frames), cond=cond)
+    pipeline = build_logits_pipeline(vocab, temperature=temperature, top_p=top_p, do_sample=True)
+    my_scores = engine.generate_forced(
+        enc, prompt.astype(np.int32), pipeline, hf_tokens[:, P:P + T])
+
+    assert T >= 16, f"too few sampled steps captured ({T})"
+    _assert_sampled_scores_match(hf_tokens, hf_scores, my_scores, P,
+                                 eos_ids if isinstance(eos_ids, list) else [eos_ids],
+                                 rng_seed)
+
+
+@pytest.mark.parametrize("recipe", ["v28", "v31", "v32"])
+def test_sampled_generate_parity(ref, recipe, tmp_path, monkeypatch):
+    src_len, tgt_len = 64, 96
+    cfg, ref_cfg = _configs(ref, recipe, src_len, tgt_len, tmp_path, monkeypatch)
+    _run_sampled_parity(ref, cfg, ref_cfg, FAMILY[recipe], monkeypatch)
+
+
+def test_nwhisper_sampled_generate_parity(ref, tmp_path, monkeypatch):
+    src_len, tgt_len = 64, 96
+    cfg, ref_cfg = _configs(ref, "legacy/v27", src_len, tgt_len, tmp_path, monkeypatch)
+    cfg.model.name = ref_cfg.model.name = "OliBomby/nwhisper-base"
+    _run_sampled_parity(ref, cfg, ref_cfg, "nwhisper", monkeypatch,
+                        normalize_weights=True, seed=13)
+
+
+def test_t5_sampled_generate_parity(monkeypatch):
+    """Stock-HF-oracle sampled parity for the t5 family (same rationale as
+    the greedy test: the reference's own T5-through-wrapper path is
+    unrunnable)."""
+    import torch
+    from transformers import T5Config, T5ForConditionalGeneration
+
+    from mapperatorinator_tpu.decode import DecodeEngine
+    from mapperatorinator_tpu.decode.logits import LogitsPipeline
+    from mapperatorinator_tpu.models.convert import convert_t5_state_dict
+    from mapperatorinator_tpu.models.transformer import OsuTransformer, TransformerConfig
+
+    hf_cfg = T5Config(
+        vocab_size=64, d_model=32, d_kv=8, d_ff=64,
+        num_layers=2, num_decoder_layers=2, num_heads=4,
+        feed_forward_proj="gated-gelu", tie_word_embeddings=False,
+        use_cache=True, pad_token_id=0, eos_token_id=2, decoder_start_token_id=1,
+        dropout_rate=0.0,
+    )
+    torch.manual_seed(0)
+    tmodel = T5ForConditionalGeneration(hf_cfg).eval()
+
+    ours = OsuTransformer(TransformerConfig(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_heads=4, decoder_heads=4, encoder_ffn=64, decoder_ffn=64,
+        head_dim_override=8, activation="gelu_tanh",
+        max_source_positions=16, max_target_positions=64, num_mel_bins=32,
+        position_scheme="t5_relpos", norm="rms", norm_eps=1e-6,
+        attention_bias=False, attention_scale=False, mlp_bias=False, ffn_gated=True,
+        conv_stem=False, tie_word_embeddings=False, pad_token_id=0,
+    ))
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = {"params": convert_t5_state_dict(sd, 2, 2, tied_head=False)}
+
+    rng = np.random.default_rng(17)
+    n_new, rng_seed = 24, 123
+    feats = rng.standard_normal((2, 12, 32)).astype(np.float32)
+    prompt = np.asarray([[1, 5], [1, 9]], np.int64)
+
+    torch.manual_seed(rng_seed)
+    with torch.no_grad():
+        out = tmodel.generate(
+            inputs_embeds=torch.tensor(feats),
+            decoder_input_ids=torch.tensor(prompt),
+            max_new_tokens=n_new, do_sample=True, num_beams=1,
+            temperature=0.9, top_p=0.9, top_k=0,
+            output_scores=True, return_dict_in_generate=True,
+        )
+    # HF returns only the continuation for encoder-decoder inputs_embeds
+    seq = out.sequences.numpy()
+    gen = seq[:, prompt.shape[1]:] if seq.shape[1] > len(out.scores) else seq
+    hf_scores = torch.stack(out.scores, dim=1).numpy()
+    T = hf_scores.shape[1]
+
+    engine = DecodeEngine(ours, params, max_length=prompt.shape[1] + n_new, pad_token_id=0)
+    enc = engine.encode(jnp.asarray(feats))
+    pipeline = LogitsPipeline(vocab_size=64, time_start=0, time_end=0,
+                              sos_ids=(), eos_ids=(2,), temperature=0.9,
+                              top_p=0.9, do_sample=True)
+    my_scores = engine.generate_forced(enc, prompt.astype(np.int32), pipeline, gen[:, :T])
+
+    full = np.concatenate([prompt, gen[:, :T]], axis=1)
+    _assert_sampled_scores_match(full, hf_scores, my_scores, prompt.shape[1], [2], rng_seed)
+
+
+def test_moonshine_sampled_generate_parity(monkeypatch):
+    """Stock-HF-oracle sampled parity for the moonshine family."""
+    import torch
+    from transformers import MoonshineConfig, MoonshineForConditionalGeneration
+
+    from mapperatorinator_tpu.decode import DecodeEngine
+    from mapperatorinator_tpu.decode.logits import LogitsPipeline
+    from mapperatorinator_tpu.models.convert import convert_moonshine_state_dict
+    from mapperatorinator_tpu.models.transformer import OsuTransformer, TransformerConfig
+
+    hf_cfg = MoonshineConfig(
+        vocab_size=64, hidden_size=32, intermediate_size=64,
+        encoder_num_hidden_layers=2, decoder_num_hidden_layers=2,
+        encoder_num_attention_heads=2, decoder_num_attention_heads=2,
+        encoder_num_key_value_heads=2, decoder_num_key_value_heads=2,
+        max_position_embeddings=64, use_cache=True,
+        pad_token_id=0, bos_token_id=1, eos_token_id=2, decoder_start_token_id=1,
+        partial_rotary_factor=0.9,
+    )
+    hf_cfg._attn_implementation = "eager"
+    torch.manual_seed(0)
+    tmodel = MoonshineForConditionalGeneration(hf_cfg).eval()
+
+    ours = OsuTransformer(TransformerConfig(
+        vocab_size=64, d_model=32, encoder_layers=2, decoder_layers=2,
+        encoder_heads=2, decoder_heads=2, encoder_ffn=64, decoder_ffn=64,
+        max_source_positions=64, max_target_positions=64, num_mel_bins=1,
+        position_scheme="rope", norm="layer", norm_bias=False,
+        attention_bias=False, mlp_bias=True,
+        decoder_activation="silu", decoder_ffn_gated_concat=True,
+        conv_stem=True, stem_type="moonshine", rope_partial_factor=0.9,
+        tie_word_embeddings=False, pad_token_id=0,
+    ))
+    sd = {k: v.detach().numpy() for k, v in tmodel.state_dict().items()}
+    params = {"params": convert_moonshine_state_dict(sd, 2, 2, tied_head=False)}
+
+    rng = np.random.default_rng(19)
+    n_new, rng_seed = 24, 123
+    wave = (rng.standard_normal((2, 4000)) * 0.1).astype(np.float32)
+    prompt = np.asarray([[1, 5], [1, 9]], np.int64)
+
+    torch.manual_seed(rng_seed)
+    with torch.no_grad():
+        out = tmodel.generate(
+            input_values=torch.tensor(wave),
+            decoder_input_ids=torch.tensor(prompt),
+            max_new_tokens=n_new, do_sample=True, num_beams=1,
+            temperature=0.9, top_p=0.9, top_k=0,
+            output_scores=True, return_dict_in_generate=True,
+        )
+    seq = out.sequences.numpy()
+    hf_scores = torch.stack(out.scores, dim=1).numpy()
+    T = hf_scores.shape[1]
+    gen = seq[:, prompt.shape[1]:]
+
+    engine = DecodeEngine(ours, params, max_length=prompt.shape[1] + n_new, pad_token_id=0)
+    enc = engine.encode(jnp.asarray(wave)[..., None])
+    pipeline = LogitsPipeline(vocab_size=64, time_start=0, time_end=0,
+                              sos_ids=(), eos_ids=(2,), temperature=0.9,
+                              top_p=0.9, do_sample=True)
+    my_scores = engine.generate_forced(enc, prompt.astype(np.int32), pipeline, gen[:, :T])
+
+    _assert_sampled_scores_match(seq, hf_scores, my_scores, prompt.shape[1], [2], rng_seed)
