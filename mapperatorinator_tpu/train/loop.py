@@ -60,6 +60,20 @@ def add_prefix(prefix: str, stats: dict) -> dict:
     return {f"{prefix}/{k}": v for k, v in stats.items()}
 
 
+def _jsonable(v):
+    try:
+        return float(v)
+    except (TypeError, ValueError):
+        return v
+
+
+def _ckpt_metrics(step: int, eval_loss) -> dict:
+    metrics = {"step": step}
+    if eval_loss is not None:
+        metrics["eval_loss"] = float(eval_loss)
+    return metrics
+
+
 def _host_value(x) -> np.ndarray:
     """Host read of a (fully-replicated) value that may be a multi-process
     global array spanning non-addressable devices — read a local shard (every
@@ -157,8 +171,13 @@ def eval_model(
 
 
 class CheckpointManager:
-    """Orbax-backed checkpoints with total-limit retention + auto-resume
-    (reference: osuT5/train.py:33-46, train_utils.py:88-144)."""
+    """Orbax-backed checkpoints with total-limit retention, auto-resume,
+    a metadata manifest, and eval-loss-keyed best tracking (reference:
+    osuT5/train.py:33-46 + train_utils.py:88-144 — the reference uploads
+    every checkpoint as a wandb Artifact with metadata and a ``best`` alias
+    by eval loss; here the manifest is a local ``manifest.json`` and the
+    best checkpoint is mirrored to ``<dir>/best`` so total-limit retention
+    can never garbage-collect it)."""
 
     def __init__(self, directory, total_limit: int = 2):
         import orbax.checkpoint as ocp
@@ -169,8 +188,24 @@ class CheckpointManager:
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=total_limit, create=True),
         )
+        self._manifest_path = self.directory / "manifest.json"
+        self._manifest = {"metadata": {}, "checkpoints": {}, "best": None}
+        if self._manifest_path.exists():
+            try:
+                self._manifest = json.loads(self._manifest_path.read_text(encoding="utf-8"))
+            except (OSError, ValueError):
+                pass
 
-    def save(self, step: int, state, extra: Optional[dict] = None) -> None:
+    def set_metadata(self, metadata: dict) -> None:
+        """Run-level metadata recorded once into the manifest (the artifact
+        metadata equivalent: seq lens, class counts, spectrogram config...)."""
+        self._manifest["metadata"] = {k: _jsonable(v) for k, v in metadata.items()}
+        self._write_manifest()
+
+    def save(self, step: int, state, extra: Optional[dict] = None,
+             metrics: Optional[dict] = None) -> None:
+        """``metrics`` may carry ``eval_loss``; a new minimum updates the
+        ``best`` alias and mirrors the checkpoint to ``<dir>/best``."""
         import orbax.checkpoint as ocp
 
         args = {"state": ocp.args.StandardSave(state)}
@@ -178,6 +213,53 @@ class CheckpointManager:
             args["extra"] = ocp.args.JsonSave(extra)
         self.manager.save(step, args=ocp.args.Composite(**args))
         self.manager.wait_until_finished()
+
+        entry = {k: _jsonable(v) for k, v in (metrics or {}).items()}
+        self._manifest.setdefault("checkpoints", {})[str(step)] = entry
+        eval_loss = entry.get("eval_loss")
+        best = self._manifest.get("best")
+        if eval_loss is not None and (best is None or eval_loss < best["eval_loss"]):
+            self._manifest["best"] = {"step": step, "eval_loss": eval_loss}
+            self._mirror_best(step)
+        self._write_manifest()
+
+    def _mirror_best(self, step: int) -> None:
+        import shutil
+
+        src = self.directory / str(step)
+        if not src.exists():  # non-default step-name format; skip the mirror
+            return
+        tmp = self.directory / ".best.tmp"
+        dst = self.directory / "best"
+        if tmp.exists():
+            shutil.rmtree(tmp)
+        shutil.copytree(src, tmp)
+        if dst.exists():
+            shutil.rmtree(dst)
+        tmp.rename(dst)
+
+    def _write_manifest(self) -> None:
+        if jax.process_index() != 0:
+            return
+        self._manifest_path.write_text(json.dumps(self._manifest, indent=1), encoding="utf-8")
+
+    def best_step(self) -> Optional[int]:
+        best = self._manifest.get("best")
+        return None if best is None else int(best["step"])
+
+    def restore_best(self, state_template):
+        """Restore the ``best``-alias checkpoint (falls back to the live step
+        directory if the mirror is gone)."""
+        import orbax.checkpoint as ocp
+
+        best = self._manifest.get("best")
+        if best is None:
+            raise ValueError("no best checkpoint recorded in the manifest")
+        mirror = self.directory / "best" / "state"
+        if mirror.exists():
+            with ocp.StandardCheckpointer() as ckptr:
+                return ckptr.restore(mirror, target=state_template)
+        return self.restore(state_template, step=int(best["step"]))
 
     def latest_step(self) -> Optional[int]:
         return self.manager.latest_step()
@@ -292,6 +374,7 @@ def train(
     peak_flops = _device_peak_flops() * max(jax.device_count(), 1)
 
     step = int(_host_value(state.step))
+    last_eval_loss = None
     while step < args.optim.total_steps:
         # re-create the batch stream each epoch; a one-shot iterable would
         # otherwise exhaust and spin forever below total_steps
@@ -333,11 +416,13 @@ def train(
                 eval_stats = eval_model(
                     eval_step, state.params, eval_batch_factory(), vocab, args, max_steps=args.eval.steps
                 )
+                if "test/loss" in eval_stats:
+                    last_eval_loss = eval_stats["test/loss"]
                 if logger is not None:
                     logger.log(eval_stats, step)
 
             if checkpoints is not None and step % args.checkpoint.every_steps == 0:
-                checkpoints.save(step, state)
+                checkpoints.save(step, state, metrics=_ckpt_metrics(step, last_eval_loss))
 
             if on_step is not None:
                 on_step(step, metrics)
@@ -349,5 +434,5 @@ def train(
             break
 
     if checkpoints is not None:
-        checkpoints.save(step, state)
+        checkpoints.save(step, state, metrics=_ckpt_metrics(step, last_eval_loss))
     return state

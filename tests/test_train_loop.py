@@ -188,3 +188,47 @@ def test_averager():
     a.update({"x": np.array([5.0])})
     out = a.average()
     assert out["x"] == pytest.approx(3.0)
+
+
+def test_best_checkpoint_tracking(setup, tmp_path):
+    """Eval-loss-keyed best alias + manifest (reference: the wandb Artifact
+    'best' alias by eval loss, train_utils.py:115-144)."""
+    import json
+
+    args, vocab, parser, model = setup
+    hop = args.model.spectrogram.hop_length
+    params = model.init(
+        jax.random.PRNGKey(0),
+        frames=jnp.zeros((1, hop * (args.data.src_seq_len - 1)), jnp.float32),
+        decoder_input_ids=jnp.ones((1, 8), jnp.int32),
+    )
+    tx = build_optimizer(args)
+    state = init_train_state(params, tx)
+
+    ckpts = CheckpointManager(tmp_path / "ckpt", total_limit=2)
+    ckpts.set_metadata({"src_seq_len": args.data.src_seq_len, "format": "orbax"})
+    state1 = state._replace(step=jnp.asarray(1, jnp.int32))
+    ckpts.save(1, state1, metrics={"step": 1, "eval_loss": 3.0})
+    state2 = state._replace(step=jnp.asarray(2, jnp.int32))
+    ckpts.save(2, state2, metrics={"step": 2, "eval_loss": 5.0})  # worse
+    assert ckpts.best_step() == 1
+
+    manifest = json.loads((tmp_path / "ckpt" / "manifest.json").read_text())
+    assert manifest["best"] == {"step": 1, "eval_loss": 3.0}
+    assert manifest["metadata"]["src_seq_len"] == args.data.src_seq_len
+    assert set(manifest["checkpoints"]) == {"1", "2"}
+
+    # retention (total_limit=2) would eventually GC step 1; the mirror keeps
+    # the best restorable regardless
+    state3 = state._replace(step=jnp.asarray(3, jnp.int32))
+    ckpts.save(3, state3, metrics={"step": 3, "eval_loss": 4.0})
+    assert ckpts.latest_step() == 3
+    assert ckpts.best_step() == 1
+    restored = ckpts.restore_best(state)
+    assert int(restored.step) == 1
+
+    # a new minimum moves the alias
+    state4 = state._replace(step=jnp.asarray(4, jnp.int32))
+    ckpts.save(4, state4, metrics={"step": 4, "eval_loss": 2.0})
+    assert ckpts.best_step() == 4
+    assert int(ckpts.restore_best(state).step) == 4

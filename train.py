@@ -158,6 +158,19 @@ def main(argv=None):
 
     ckpt_dir = Path(args.checkpoint_path or "checkpoints").resolve()
     checkpoints = CheckpointManager(ckpt_dir, total_limit=args.checkpoint.local_total_limit)
+    # run metadata into the manifest (reference: the wandb Artifact metadata,
+    # train_utils.py:115-144)
+    checkpoints.set_metadata({
+        "format": "orbax",
+        "src_seq_len": args.data.src_seq_len,
+        "tgt_seq_len": args.data.tgt_seq_len,
+        "num_classes": args.data.num_classes,
+        "num_diff_classes": args.data.num_diff_classes,
+        "max_difficulty": args.data.max_diff,
+        "class_dropout_prob": args.data.class_dropout_prob,
+        "diff_dropout_prob": args.data.diff_dropout_prob,
+        "backbone": args.model.name,
+    })
     latest = checkpoints.latest_step()
     if latest is not None:
         print(f"Resuming from checkpoint step {latest}")
