@@ -9,7 +9,35 @@
   const generateBtn = $("generate-btn");
   const cancelBtn = $("cancel-btn");
   let jobId = null;
+  let lastLogPath = null;
   let source = null;
+
+  function flash(message, cls) {
+    const box = $("flash-container");
+    if (!box) return;
+    const div = document.createElement("div");
+    div.className = "flash " + (cls || "info");
+    div.textContent = message;
+    box.appendChild(div);
+    setTimeout(() => div.remove(), 6000);
+  }
+
+  function configStatus(message, cls) {
+    const el = $("config-status");
+    if (!el) return;
+    el.textContent = message;
+    el.className = cls || "ok";
+    setTimeout(() => { el.textContent = ""; }, 4000);
+  }
+
+  function applyConfig(saved) {
+    for (const [k, v] of Object.entries(saved)) {
+      const el = form.elements[k];
+      if (!el || el instanceof RadioNodeList) continue;
+      if (el.type === "checkbox") el.checked = !!v;
+      else el.value = v;
+    }
+  }
 
   function append(line, cls) {
     const span = document.createElement("span");
@@ -65,13 +93,17 @@
   function restoreConfig() {
     let saved = {};
     try { saved = JSON.parse(localStorage.getItem("mapp_config") || "{}"); } catch (e) {}
-    for (const [k, v] of Object.entries(saved)) {
-      const el = form.elements[k];
-      if (!el) continue;
-      if (el instanceof RadioNodeList) continue;
-      if (el.type === "checkbox") el.checked = !!v;
-      else el.value = v;
+    applyConfig(saved);
+  }
+
+  function currentConfig() {
+    const data = {};
+    for (const el of form.elements) {
+      if (!el.name) continue;
+      if (el.type === "checkbox") data[el.name] = el.checked;
+      else if (!el.multiple) data[el.name] = el.value;
     }
+    return data;
   }
 
   function formData() {
@@ -80,13 +112,7 @@
   }
 
   function persistConfig() {
-    const data = {};
-    for (const el of form.elements) {
-      if (!el.name) continue;
-      if (el.type === "checkbox") data[el.name] = el.checked;
-      else if (!el.multiple) data[el.name] = el.value;
-    }
-    localStorage.setItem("mapp_config", JSON.stringify(data));
+    localStorage.setItem("mapp_config", JSON.stringify(currentConfig()));
   }
 
   function setRunning(running) {
@@ -129,6 +155,8 @@
       return;
     }
     jobId = out.job_id;
+    lastLogPath = out.log_path || null;
+    $("open-log-btn").disabled = !lastLogPath;
     stream(jobId);
   });
 
@@ -164,6 +192,51 @@
   $("save-config-btn").addEventListener("click", async () => {
     persistConfig();
     await fetch("/save_config", { method: "POST", body: new URLSearchParams(formData()) });
+    configStatus(i18n.t("status.config_saved", "config saved"));
+  });
+
+  // config portability (reference: export-config-btn / import-config-input /
+  // reset-config-btn, static/app.js)
+  $("export-config-btn").addEventListener("click", () => {
+    const blob = new Blob([JSON.stringify(currentConfig(), null, 2)],
+                          { type: "application/json" });
+    const a = document.createElement("a");
+    a.href = URL.createObjectURL(blob);
+    a.download = "mapperatorinator_config.json";
+    a.click();
+    URL.revokeObjectURL(a.href);
+    configStatus(i18n.t("status.config_exported", "config exported"));
+  });
+
+  $("import-config-btn").addEventListener("click", () => $("import-config-input").click());
+  $("import-config-input").addEventListener("change", async (ev) => {
+    const file = ev.target.files[0];
+    if (!file) return;
+    try {
+      applyConfig(JSON.parse(await file.text()));
+      persistConfig();
+      configStatus(i18n.t("status.config_imported", "config imported"));
+    } catch (e) {
+      configStatus(i18n.t("status.config_invalid", "invalid config file"), "err");
+      flash(String(e), "err");
+    }
+    ev.target.value = "";
+  });
+
+  $("reset-config-btn").addEventListener("click", () => {
+    localStorage.removeItem("mapp_config");
+    form.reset();
+    $("gamemode").dispatchEvent(new Event("change"));
+    configStatus(i18n.t("status.config_reset", "config reset"));
+  });
+
+  $("open-log-btn").addEventListener("click", async () => {
+    if (!lastLogPath) return;
+    const body = new FormData();
+    body.append("path", lastLogPath);
+    const res = await fetch("/open_log_file", { method: "POST", body: new URLSearchParams(body) });
+    const out = await res.json();
+    if (out.status !== "success") flash(out.message || "could not open log", "err");
   });
 
   $("open-folder-btn").addEventListener("click", async () => {

@@ -277,7 +277,7 @@ def test_static_path_traversal_forbidden(server):
         assert "REPO_ROOT" not in body
 
 
-def _quick_worker(form, q):
+def _quick_worker(form, q, log_path=None):
     # module-level: spawned processes must pickle the target
     q.put("hello")
     q.put("__DONE__")

@@ -42,6 +42,7 @@ REPO_ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO_ROOT))
 
 CONFIG_SAVE_PATH = Path.home() / ".mapperatorinator_tpu_ui.json"
+LOG_DIR = REPO_ROOT / "logs" / "web_ui"
 
 # job_id -> {"process": Process, "queue": Queue}
 JOBS: dict = {}
@@ -117,13 +118,21 @@ def build_inference_config(form: dict):
     return args
 
 
-def _queue_writer(q):
+def _queue_writer(q, log_path=None):
+    """Worker stdout shim: lines go to the SSE queue and (when a path is
+    given) to the job's log file, which /open_log_file serves later
+    (reference: web-ui.py:818-855 opens per-run log files)."""
+    log_file = open(log_path, "a", encoding="utf-8") if log_path else None
+
     class Writer:
         def write(self, s):
             s = s.strip()
             if s:
                 for line in s.splitlines():
                     q.put(line)
+                    if log_file is not None:
+                        log_file.write(line + "\n")
+                        log_file.flush()
 
         def flush(self):
             pass
@@ -134,10 +143,10 @@ def _queue_writer(q):
     return Writer()
 
 
-def _inference_worker(form: dict, q) -> None:
+def _inference_worker(form: dict, q, log_path=None) -> None:
     import traceback
 
-    sys.stdout = sys.stderr = _queue_writer(q)
+    sys.stdout = sys.stderr = _queue_writer(q, log_path)
     try:
         args = build_inference_config(form)
         import inference
@@ -149,11 +158,11 @@ def _inference_worker(form: dict, q) -> None:
         q.put(f"__ERROR__{e}")
 
 
-def _mai_mod_worker(form: dict, q) -> None:
+def _mai_mod_worker(form: dict, q, log_path=None) -> None:
     import dataclasses
     import traceback
 
-    sys.stdout = sys.stderr = _queue_writer(q)
+    sys.stdout = sys.stderr = _queue_writer(q, log_path)
     try:
         from mapperatorinator_tpu.config import compose, schema
 
@@ -255,13 +264,21 @@ def _reap_job(job_id) -> None:
 
 def _spawn(worker, form: dict) -> str:
     job_id = uuid.uuid4().hex
+    LOG_DIR.mkdir(parents=True, exist_ok=True)
+    log_path = LOG_DIR / f"{job_id}.log"
     ctx = multiprocessing.get_context("spawn")
     q = ctx.Queue()
-    p = ctx.Process(target=worker, args=(form, q), daemon=True)
+    p = ctx.Process(target=worker, args=(form, q, str(log_path)), daemon=True)
     p.start()
     with JOBS_LOCK:
-        JOBS[job_id] = {"process": p, "queue": q}
+        JOBS[job_id] = {"process": p, "queue": q, "log_path": str(log_path)}
     return job_id
+
+
+def _job_log_path(job_id) -> str:
+    with JOBS_LOCK:
+        job = JOBS.get(job_id)
+    return job["log_path"] if job else str(LOG_DIR / f"{job_id}.log")
 
 
 class Handler(BaseHTTPRequestHandler):
@@ -380,19 +397,30 @@ class Handler(BaseHTTPRequestHandler):
                 self._json({"status": "error", "message": str(e)}, 400)
                 return
             job_id = _spawn(_inference_worker, form)
-            self._json({"status": "success", "message": "Inference started", "job_id": job_id}, 202)
+            self._json({"status": "success", "message": "Inference started",
+                        "job_id": job_id, "log_path": _job_log_path(job_id)}, 202)
         elif path == "/start_mai_mod":
             if not _first(form, "beatmap_path"):
                 self._json({"status": "error", "message": "beatmap_path is required"}, 400)
                 return
             job_id = _spawn(_mai_mod_worker, form)
-            self._json({"status": "success", "message": "Analysis started", "job_id": job_id}, 202)
+            self._json({"status": "success", "message": "Analysis started",
+                        "job_id": job_id, "log_path": _job_log_path(job_id)}, 202)
         elif path == "/cancel_inference":
             job_id = _first(form, "job_id")
             with JOBS_LOCK:
                 job = JOBS.pop(job_id, None)
             if job and job["process"].is_alive():
-                job["process"].terminate()
+                proc = job["process"]
+                proc.terminate()
+                # kill-escalation (the reference force-kills the whole tree,
+                # web-ui.py:753-780): SIGKILL if SIGTERM is ignored
+                def _escalate(p=proc):
+                    p.join(timeout=5)
+                    if p.is_alive():
+                        p.kill()
+
+                threading.Thread(target=_escalate, daemon=True).start()
                 self._json({"status": "success", "message": "cancelled"})
             else:
                 self._json({"status": "not running"})
@@ -407,6 +435,27 @@ class Handler(BaseHTTPRequestHandler):
             data = {k: v if len(v) > 1 else v[0] for k, v in form.items()}
             CONFIG_SAVE_PATH.write_text(json.dumps(data, indent=2))
             self._json({"status": "success", "path": str(CONFIG_SAVE_PATH)})
+        elif path == "/open_log_file":
+            # containment: only files under logs/ may be opened
+            # (reference security check, web-ui.py:826-835)
+            target = _first(form, "path") or ""
+            logs_root = (REPO_ROOT / "logs").resolve()
+            resolved = Path(target).resolve() if target else None
+            if resolved is None:
+                self._json({"status": "error", "message": "No log file path specified"}, 400)
+            elif not resolved.is_relative_to(logs_root):
+                self._json({"status": "error",
+                            "message": "Access denied: file is outside the logs directory"}, 403)
+            elif not resolved.is_file():
+                self._json({"status": "error", "message": "Log file not found"}, 404)
+            else:
+                opener = {"win32": "explorer", "darwin": "open"}.get(sys.platform, "xdg-open")
+                try:
+                    subprocess.Popen([opener, str(resolved)],
+                                     stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+                    self._json({"status": "success"})
+                except OSError as e:
+                    self._json({"status": "error", "message": str(e)}, 500)
         elif path == "/open_folder":
             target = _first(form, "path") or "."
             opener = {"win32": "explorer", "darwin": "open"}.get(sys.platform, "xdg-open")
