@@ -168,3 +168,15 @@ def test_open_log_file_containment(tmp_path):
         assert status == 404
     finally:
         httpd.shutdown()
+
+
+def test_cli_wizard_covers_every_reference_option():
+    """cli_inference.sh parity: every config key the reference wizard can
+    emit (add_arg/add_bool_arg calls, cli_inference.sh:391-426) must be
+    emittable by our wizard."""
+    ref = Path("/root/reference/cli_inference.sh").read_text(encoding="utf-8")
+    keys = set(re.findall(r'add_(?:bool_)?arg "([a-z_]+)"', ref))
+    assert keys, "failed to parse reference wizard keys"
+    ours = Path("/root/repo/cli_inference.sh").read_text(encoding="utf-8")
+    missing = sorted(k for k in keys if k not in ours)
+    assert not missing, f"wizard options missing from cli_inference.sh: {missing}"
