@@ -561,9 +561,16 @@ def cpu_greedy_30s_subprocess(timeout: float = 1500.0) -> float:
 
 
 def train_step_metrics(on_tpu: bool) -> dict:
-    """v32-shape training step at the reference's batch size (32, with
-    rematerialization) on one chip: seconds/step + MFU via the train loop's
-    own gauge (train/loop.py)."""
+    """v32-shape training step on one chip: seconds/step + MFU via the train
+    loop's own gauge (train/loop.py).
+
+    bf16 mixed precision (the reference trains bf16, v32.yaml:7; honored by
+    build_config since round 4) halves activation HBM, so the best config on a
+    16 GB v5e is batch 16 WITHOUT rematerialization (no recompute) — measured
+    28% faster per example than remat at batch 32. The ladder tries that
+    first, then falls back through remat shapes. The reference's effective
+    batch (32×grad_acc 2) maps to grad_acc 4 at batch 16 (optax.MultiSteps).
+    """
     from mapperatorinator_tpu.config import compose, schema
     from mapperatorinator_tpu.models import Mapperatorinator
     from mapperatorinator_tpu.models.mapperatorinator import build_config
@@ -582,16 +589,12 @@ def train_step_metrics(on_tpu: bool) -> dict:
     args.data.tags_metadata_path = ""
     args.data.dataset_type = "none"
     if on_tpu:
-        # the reference trains batch 32 x grad_acc 2 on a 24 GB 4090
-        # (v32.yaml:96-105); one 16 GB v5e OOMs at 32 even with remat
-        # (measured: 16.7 GB needed), so fall down the ladder and report
-        # the batch that fits
-        batch_ladder = [32, 16, 8]
-        args.parallel.remat = True
-        args.precision = "bf16"
+        # (batch, remat) ladder: bf16 no-remat batch 16 is the measured best
+        # on a 16 GB v5e; remat shapes are the fallback (batch 32 no-remat
+        # OOMs — the reference's 24 GB 4090 fits it, v32.yaml:96-105)
+        batch_ladder = [(16, False), (32, True), (16, True), (8, True)]
     else:
-        batch_ladder = [2]
-        batch = 2
+        batch_ladder = [(2, True)]
         args.data.src_seq_len = 256
         args.data.tgt_seq_len = 192
         args.model.overwrite = dict(args.model.overwrite or {}, d_model=64,
@@ -603,7 +606,6 @@ def train_step_metrics(on_tpu: bool) -> dict:
     args.optim.total_steps = 1000
 
     vocab = build_vocabulary(args)
-    model = Mapperatorinator(build_config(args, vocab))
     rng = np.random.default_rng(0)
     tgt = args.data.tgt_seq_len
 
@@ -615,35 +617,40 @@ def train_step_metrics(on_tpu: bool) -> dict:
             "labels": rng.integers(3, vocab.vocab_size_out, (batch, tgt)).astype(np.int32),
         }
 
-    params = model.init(
-        jax.random.PRNGKey(0),
-        frames=jnp.zeros((1, HOP * (args.data.src_seq_len - 1)), jnp.float32),
-        decoder_input_ids=jnp.ones((1, 8), jnp.int32),
+    # Snapshot params to host once: the train step donates its input state, so
+    # a runtime OOM can poison the donated buffers; every ladder candidate
+    # re-materializes a pristine state from the host copy. remat is a model
+    # config knob, so the model is rebuilt per candidate (same init weights —
+    # remat doesn't change the param tree).
+    args.parallel.remat = True
+    params_host = jax.tree.map(
+        np.asarray,
+        Mapperatorinator(build_config(args, vocab)).init(
+            jax.random.PRNGKey(0),
+            frames=jnp.zeros((1, HOP * (args.data.src_seq_len - 1)), jnp.float32),
+            decoder_input_ids=jnp.ones((1, 8), jnp.int32),
+        ),
     )
     tx = build_optimizer(args, num_processes=1)
-    # The train step donates its input state; a runtime OOM can fire at the
-    # host sync AFTER `state` was rebound to poisoned outputs (and the donated
-    # originals invalidated — params included, since TrainState references
-    # them). Snapshot params to host once so every ladder candidate starts
-    # from a pristine state regardless of what the previous attempt destroyed.
-    params_host = jax.tree.map(np.asarray, params)
-    del params
-    step_fn = make_train_step(model, tx)
 
     batch = None
     state = None
-    for candidate in batch_ladder:
+    for cand_batch, cand_remat in batch_ladder:
         try:
+            args.parallel.remat = cand_remat
+            model = Mapperatorinator(build_config(args, vocab))
+            step_fn = make_train_step(model, tx)
             state = init_train_state(jax.tree.map(jnp.asarray, params_host), tx)
-            batch_data = make_batch(candidate)
+            batch_data = make_batch(cand_batch)
             state, metrics = step_fn(state, batch_data, jax.random.PRNGKey(1))
             _ = float(metrics["loss"])  # real host sync (block_until_ready is unreliable here)
-            batch = candidate
+            batch = cand_batch
             break
         except Exception as e:  # XLA compile OOM surfaces as a runtime error
             if "memory" not in str(e).lower() and "RESOURCE" not in str(e):
                 raise
-            print(f"train bench: batch {candidate} OOM, trying smaller", file=sys.stderr)
+            print(f"train bench: batch {cand_batch} remat={cand_remat} OOM, "
+                  "trying next ladder rung", file=sys.stderr)
     if batch is None:
         return {"train_seconds_per_step": None, "train_batch_size": None, "train_mfu": None}
 
@@ -662,8 +669,42 @@ def train_step_metrics(on_tpu: bool) -> dict:
     return {
         "train_seconds_per_step": round(seconds_per_step, 4),
         "train_batch_size": batch,
+        "train_remat": bool(args.parallel.remat),
         "train_mfu": round(mfu, 4) if mfu is not None else None,
     }
+
+
+def train_step_metrics_subprocess(timeout: float = 1800.0) -> dict:
+    """Run the train-step measurement in a fresh process.
+
+    In-process measurement after the decode/DiT/super-timing configs is
+    contaminated: compiled programs and allocator fragmentation from the
+    earlier configs slow the same jitted step program by ~1.9x (measured
+    7.19 s in-bench vs 3.78 s isolated at identical config, round 4) and
+    push batch 32 over the memory edge. A child process gives the step the
+    same clean chip state a real training run has.
+    """
+    import os
+    import subprocess
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    child = (
+        "import sys, json; sys.path.insert(0, %r); import jax, bench; "
+        "on_tpu = jax.devices()[0].platform != 'cpu'; "
+        "print('TRAIN_METRICS=' + json.dumps(bench.train_step_metrics(on_tpu)))" % repo
+    )
+    proc = subprocess.run(
+        [sys.executable, "-c", child], env=dict(os.environ), cwd=repo,
+        capture_output=True, text=True, timeout=timeout,
+    )
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"train metrics subprocess rc={proc.returncode}: {proc.stderr[-2000:]}"
+        )
+    for line in proc.stdout.splitlines():
+        if line.startswith("TRAIN_METRICS="):
+            return json.loads(line.split("=", 1)[1])
+    raise RuntimeError(f"no TRAIN_METRICS in subprocess output: {proc.stdout[-500:]}")
 
 
 def main() -> None:
@@ -755,7 +796,19 @@ def main() -> None:
                 lambda: all_gamemodes_super_timing_seconds(on_tpu))  # config #4
         measure("mai_mod_classifier_rcomplexion_seconds",
                 lambda: multi_model_pass_seconds(on_tpu))  # config #5
-        train_stats = measure("train_step", lambda: train_step_metrics(on_tpu)) or {}
+        # isolated subprocess: in-process measurement after the inference
+        # configs is ~1.9x slower than the clean-chip number (see
+        # train_step_metrics_subprocess); fall back in-process if the child
+        # fails (e.g. no subprocess support)
+        def _train_stats():
+            try:
+                return train_step_metrics_subprocess()
+            except Exception as e:
+                print(f"bench: train subprocess failed ({e}); measuring in-process",
+                      file=sys.stderr, flush=True)
+                return train_step_metrics(on_tpu)
+
+        train_stats = measure("train_step", _train_stats) or {}
         extra.pop("train_step", None)
         for k, v in train_stats.items():
             extra[k] = v

@@ -439,6 +439,25 @@ def load_model(args, auto_select_gamemode_model: Optional[bool] = None):
 
         vocab = build_vocabulary(args.train)
 
+    # honor the inference `precision` flag (reference model_utils.py loads at
+    # args.precision): replace the COMPUTE dtype only — params stay as stored,
+    # so fp32<->bf16 switches cost nothing and respect flax mixed precision
+    import jax.numpy as jnp
+
+    prec = str(getattr(args, "precision", "") or "").lower()
+    want_dtype = {"bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16,
+                  "fp16": jnp.bfloat16, "float16": jnp.bfloat16,
+                  "fp32": jnp.float32, "float32": jnp.float32}.get(prec)
+    if want_dtype is not None and model.config.backbone.dtype != want_dtype:
+        import dataclasses
+
+        from mapperatorinator_tpu.models import Mapperatorinator
+
+        model = Mapperatorinator(dataclasses.replace(
+            model.config,
+            backbone=dataclasses.replace(model.config.backbone, dtype=want_dtype),
+        ))
+
     lora_path, lora_config = resolve_compatible_lora_path(
         getattr(args, "lora_path", None), get_model_checkpoint_subfolder(ckpt_path)
     )

@@ -110,6 +110,17 @@ def load_legacy_checkpoint(directory: Union[str, Path], train_args=None):
             "training config (train_args) that produced them"
         )
     config = build_config(train_args, vocab)
+    # the training config's mixed_precision describes how the checkpoint was
+    # TRAINED, not how it should infer; legacy loads default to fp32 compute
+    # (the reference's inference `precision` default) and the inference entry
+    # re-applies its own precision flag on top (inference.py:load_model)
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    config = dataclasses.replace(
+        config, backbone=dataclasses.replace(config.backbone, dtype=jnp.float32)
+    )
     model = Mapperatorinator(config)
     params = {"params": convert_mapperatorinator_state_dict(
         {k: v for k, v in state.items()}, config,

@@ -113,6 +113,15 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
     tie = overwrite.pop("tie_word_embeddings", True)
     dropout = overwrite.pop("dropout", 0.0)
 
+    # Training compute dtype from the accelerate-style mixed_precision flag
+    # (reference train.py passes it to Accelerator; v32.yaml:7 trains bf16).
+    # Params stay fp32 (flax param_dtype) — this is bf16 *mixed* precision,
+    # matmuls/activations in bf16, master weights and the CE loss in fp32.
+    # fp16 maps to bf16: the TPU MXU has no fp16 path and bf16 needs no loss
+    # scaling. Inference entries override per their own `precision` flag.
+    mp = str(getattr(train_args, "mixed_precision", None) or "no").lower()
+    compute_dtype = jnp.bfloat16 if mp in ("bf16", "bfloat16", "fp16", "float16") else jnp.float32
+
     # backbone family dispatch (reference: modeling_mapperatorinator.py:16-58)
     head_dim_override = None
     attention_scale, attention_bias, ffn_gated = True, m.attention_bias, False
@@ -215,6 +224,7 @@ def build_config(train_args, vocab) -> MapperatorinatorConfig:
         conv_stem=conv_stem,
         tie_word_embeddings=tie,
         pad_token_id=0,
+        dtype=compute_dtype,
     )
 
     rhythm_start, rhythm_end = vocab.event_type_range(EventType.TIME_SHIFT)

@@ -44,6 +44,10 @@ def tiny_train_args(src_len: int = SRC_SEQ_LEN, tgt_len: int = TGT_SEQ_LEN):
     args.data.tags_metadata_path = ""
     args.data.src_seq_len = src_len
     args.data.tgt_seq_len = tgt_len
+    # fp32 compute: the tiny checkpoint anchors golden/e2e snapshots, which
+    # were locked at fp32 numerics (v32.yaml's mixed_precision=bf16 is the
+    # production TRAINING dtype, now honored by build_config)
+    args.mixed_precision = "no"
     return args
 
 

@@ -85,6 +85,11 @@ def ors_dataset_dir(tmp_path_factory):
 def data_setup(ors_dataset_dir):
     cfg = compose("/root/repo/configs/train", "v32", schema_cls=schema.TrainConfig)
     cfg.data.dataset_type = "ors"
+    # ors reads descriptors from a LOCAL csv (vocab.py local branch; the
+    # reference raises identically on a missing file, tokenizer.py:614) —
+    # v32.yaml's value is the web-source HF dataset id, so point at the
+    # shipped table instead
+    cfg.data.descriptors_path = "datasets/beatmap_descriptors.csv"
     cfg.data.train_dataset_path = str(ors_dataset_dir)
     cfg.data.train_dataset_start = 0
     cfg.data.train_dataset_end = 2

@@ -56,6 +56,10 @@ def test_heldout_eval_harness_end_to_end(tmp_path, monkeypatch):
         "-cn", "v32",
         f"checkpoint_path={ckpt}",
         "data.dataset_type=ors",
+        # ors resolves descriptors as a LOCAL csv (hard error when the named
+        # file is missing, reference tokenizer.py:614); v32.yaml's value is
+        # the web-source HF dataset id, so point at the shipped table
+        "data.descriptors_path=datasets/beatmap_descriptors.csv",
         f"data.train_dataset_path={dataset}",
         f"data.test_dataset_path={dataset}",
         "data.train_dataset_start=0", "data.train_dataset_end=1",

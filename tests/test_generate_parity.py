@@ -48,6 +48,9 @@ def _configs(ref, name, src_len, tgt_len, tmp_path, monkeypatch):
         cfg.data.tags_metadata_path = ""
     cfg.data.src_seq_len = src_len
     cfg.data.tgt_seq_len = tgt_len
+    # both sides fp32 for exact token parity (the torch reference model is
+    # built with torch.float32 below)
+    cfg.mixed_precision = "no"
     cfg.model.overwrite = dict(cfg.model.overwrite or {}, **TINY)
 
     from tests.test_vocab import _copy_dataclass, _setup_v32
