@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import time
+import warnings
 from pathlib import Path
 from typing import Any, Callable, Iterable, Optional
 
@@ -184,6 +185,11 @@ class CheckpointManager:
 
         self.directory = Path(directory).resolve()
         self.directory.mkdir(parents=True, exist_ok=True)
+        # optional tracker hook called after every save with
+        # (checkpoint_dir, metadata, is_best) — wired to
+        # MetricsLogger.log_checkpoint_artifact when log_with=wandb
+        # (reference: train_utils.py:113-141)
+        self.artifact_sink: Optional[Callable[[Path, dict, bool], None]] = None
         self.manager = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(max_to_keep=total_limit, create=True),
@@ -218,10 +224,17 @@ class CheckpointManager:
         self._manifest.setdefault("checkpoints", {})[str(step)] = entry
         eval_loss = entry.get("eval_loss")
         best = self._manifest.get("best")
-        if eval_loss is not None and (best is None or eval_loss < best["eval_loss"]):
+        is_best = eval_loss is not None and (best is None or eval_loss < best["eval_loss"])
+        if is_best:
             self._manifest["best"] = {"step": step, "eval_loss": eval_loss}
             self._mirror_best(step)
         self._write_manifest()
+        if self.artifact_sink is not None:
+            step_dir = self.directory / str(step)
+            if step_dir.exists():
+                self.artifact_sink(
+                    step_dir, {**self._manifest.get("metadata", {}), **entry}, is_best
+                )
 
     def _mirror_best(self, step: int) -> None:
         import shutil
@@ -275,13 +288,21 @@ class CheckpointManager:
 
 
 class MetricsLogger:
-    """JSONL metrics sink + optional TensorBoard (reference: LoggingConfig)."""
+    """JSONL metrics sink + optional TensorBoard or wandb tracker backend
+    (reference: LoggingConfig.log_with + the Accelerator tracker init,
+    osuT5/train.py:55-83 — project "osuT5", job_type "training", the
+    configured mode/run_name). The JSONL sink always writes; the tracker is
+    additive, and a missing package degrades to JSONL-only with a warning."""
 
-    def __init__(self, directory, log_with: str = "tensorboard"):
+    def __init__(self, directory, log_with: str = "tensorboard", *,
+                 run_name: Optional[str] = None, mode: str = "online",
+                 run_config: Optional[dict] = None, project: str = "osuT5"):
         self.directory = Path(directory)
         self.directory.mkdir(parents=True, exist_ok=True)
         self.jsonl = open(self.directory / "metrics.jsonl", "a", encoding="utf-8")
         self.tb = None
+        self.wandb_run = None
+        self._wandb = None
         if log_with == "tensorboard":
             try:
                 from torch.utils.tensorboard import SummaryWriter
@@ -289,6 +310,24 @@ class MetricsLogger:
                 self.tb = SummaryWriter(str(self.directory))
             except ImportError:
                 pass
+        elif log_with == "wandb":
+            try:
+                import wandb
+            except ImportError:
+                warnings.warn(
+                    "logging.log_with=wandb but the wandb package is not "
+                    "installed; metrics go to JSONL only (set "
+                    "logging.log_with=tensorboard or install wandb)"
+                )
+            else:
+                self._wandb = wandb
+                kwargs = dict(project=project, job_type="training", mode=mode,
+                              dir=str(self.directory))
+                if run_name:
+                    kwargs["name"] = run_name
+                if run_config is not None:
+                    kwargs["config"] = run_config
+                self.wandb_run = wandb.init(**kwargs)
 
     def log(self, stats: dict, step: int) -> None:
         record = {"step": step, **{k: float(v) for k, v in stats.items()}}
@@ -298,11 +337,34 @@ class MetricsLogger:
             for k, v in record.items():
                 if k != "step":
                     self.tb.add_scalar(k, v, step)
+        if self.wandb_run is not None:
+            self.wandb_run.log({k: v for k, v in record.items() if k != "step"},
+                               step=step)
+
+    def log_checkpoint_artifact(self, checkpoint_dir, metadata: dict,
+                                is_best: bool) -> None:
+        """Upload a saved checkpoint directory as a wandb model Artifact with
+        run metadata, aliased ``best`` on a new eval-loss minimum (reference:
+        train_utils.py:113-141 — artifact ``osuT5-{run.id}`` of type
+        ``model``, every file under the save dir, aliases=["best"] when this
+        step improved the best loss). No-op without a live wandb run."""
+        if self.wandb_run is None:
+            return
+        art = self._wandb.Artifact(
+            f"osuT5-{self.wandb_run.id}", type="model",
+            metadata={k: _jsonable(v) for k, v in metadata.items()},
+        )
+        checkpoint_dir = Path(checkpoint_dir)
+        for file in sorted(p for p in checkpoint_dir.rglob("*") if p.is_file()):
+            art.add_file(str(file), str(file.relative_to(checkpoint_dir)))
+        self.wandb_run.log_artifact(art, aliases=["best"] if is_best else None)
 
     def close(self) -> None:
         self.jsonl.close()
         if self.tb is not None:
             self.tb.close()
+        if self.wandb_run is not None:
+            self.wandb_run.finish()
 
 
 def _estimate_step_flops(state) -> float:

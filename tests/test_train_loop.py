@@ -3,6 +3,7 @@ eval, checkpointing, and resume."""
 
 import json
 import wave
+from pathlib import Path
 
 import jax
 import jax.numpy as jnp
@@ -232,3 +233,114 @@ def test_best_checkpoint_tracking(setup, tmp_path):
     ckpts.save(4, state4, metrics={"step": 4, "eval_loss": 2.0})
     assert ckpts.best_step() == 4
     assert int(ckpts.restore_best(state).step) == 4
+
+
+class _FakeWandbRun:
+    def __init__(self, kwargs):
+        self.id = "run123"
+        self.init_kwargs = kwargs
+        self.logged = []
+        self.artifacts = []
+        self.finished = False
+
+    def log(self, record, step=None):
+        self.logged.append((step, dict(record)))
+
+    def log_artifact(self, art, aliases=None):
+        self.artifacts.append((art, aliases))
+
+    def finish(self):
+        self.finished = True
+
+
+class _FakeWandbArtifact:
+    def __init__(self, name, type, metadata=None):
+        self.name = name
+        self.type = type
+        self.metadata = metadata
+        self.files = {}
+
+    def add_file(self, path, artifact_path):
+        self.files[artifact_path] = path
+
+
+def _install_fake_wandb(monkeypatch):
+    import sys
+    import types
+
+    mod = types.ModuleType("wandb")
+    mod.runs = []
+
+    def init(**kwargs):
+        run = _FakeWandbRun(kwargs)
+        mod.runs.append(run)
+        return run
+
+    mod.init = init
+    mod.Artifact = _FakeWandbArtifact
+    monkeypatch.setitem(sys.modules, "wandb", mod)
+    return mod
+
+
+def test_wandb_tracker_backend(setup, tmp_path, monkeypatch):
+    """log_with=wandb: run init kwargs, per-step metric forwarding, and
+    checkpoint Artifact upload with the ``best`` alias (reference:
+    osuT5/train.py:55-83 + train_utils.py:113-141), exercised against an
+    injected stand-in module (the real package is not a dependency)."""
+    mod = _install_fake_wandb(monkeypatch)
+    args, vocab, parser, model = setup
+    hop = args.model.spectrogram.hop_length
+    params = model.init(
+        jax.random.PRNGKey(0),
+        frames=jnp.zeros((1, hop * (args.data.src_seq_len - 1)), jnp.float32),
+        decoder_input_ids=jnp.ones((1, 8), jnp.int32),
+    )
+    tx = build_optimizer(args)
+    state = init_train_state(params, tx)
+
+    logger = MetricsLogger(tmp_path / "logs", log_with="wandb",
+                           run_name="myrun", mode="offline")
+    run = mod.runs[0]
+    assert run.init_kwargs["project"] == "osuT5"
+    assert run.init_kwargs["job_type"] == "training"
+    assert run.init_kwargs["mode"] == "offline"
+    assert run.init_kwargs["name"] == "myrun"
+
+    logger.log({"train/loss": 2.5}, step=10)
+    assert run.logged == [(10, {"train/loss": 2.5})]
+    # the JSONL sink still writes alongside the tracker
+    assert (tmp_path / "logs" / "metrics.jsonl").read_text().strip()
+
+    ckpts = CheckpointManager(tmp_path / "ckpt", total_limit=2)
+    ckpts.set_metadata({"src_seq_len": args.data.src_seq_len})
+    ckpts.artifact_sink = logger.log_checkpoint_artifact
+    ckpts.save(1, state._replace(step=jnp.asarray(1, jnp.int32)),
+               metrics={"step": 1, "eval_loss": 3.0})
+    ckpts.save(2, state._replace(step=jnp.asarray(2, jnp.int32)),
+               metrics={"step": 2, "eval_loss": 5.0})  # worse: no best alias
+
+    assert len(run.artifacts) == 2
+    (art1, aliases1), (art2, aliases2) = run.artifacts
+    assert art1.name == "osuT5-run123" and art1.type == "model"
+    assert aliases1 == ["best"] and aliases2 is None
+    # artifact carries run metadata + step metrics, and the checkpoint files
+    assert art1.metadata["src_seq_len"] == args.data.src_seq_len
+    assert art1.metadata["eval_loss"] == 3.0
+    assert art1.files, "no files attached to the checkpoint artifact"
+    assert all(not Path(p).is_absolute() for p in art1.files)
+
+    logger.close()
+    assert run.finished
+
+
+def test_wandb_missing_package_degrades_to_jsonl(setup, tmp_path, monkeypatch):
+    """log_with=wandb without the package: a warning, then JSONL-only."""
+    import sys
+
+    monkeypatch.setitem(sys.modules, "wandb", None)
+    with pytest.warns(UserWarning, match="wandb"):
+        logger = MetricsLogger(tmp_path / "logs", log_with="wandb")
+    assert logger.wandb_run is None
+    logger.log({"train/loss": 1.0}, step=1)
+    logger.close()
+    assert (tmp_path / "logs" / "metrics.jsonl").read_text().strip()

@@ -203,8 +203,15 @@ def main(argv=None):
         eval_step = lambda p, batch: _eval_base(merge_lora(base_params, p, alpha=lora_alpha), batch)  # noqa: E731
     # only process 0 logs; secondary hosts keep a per-process dir so nothing
     # contends on the shared filesystem
-    logger = (MetricsLogger("logs", log_with=args.logging.log_with) if is_main
+    logger = (MetricsLogger("logs", log_with=args.logging.log_with,
+                            run_name=args.logging.run_name, mode=args.logging.mode)
+              if is_main
               else MetricsLogger(f"logs/proc{jax.process_index()}", log_with=None))
+    # checkpoint saves also upload to the tracker when one is live
+    # (reference: every accelerate save_state becomes a wandb model Artifact,
+    # train_utils.py:113-141)
+    if logger.wandb_run is not None:
+        checkpoints.artifact_sink = logger.log_checkpoint_artifact
 
     # save the tokenizer alongside checkpoints (reference registers it for
     # checkpointing; ours serializes once - it is deterministic given config)
