@@ -69,25 +69,251 @@ HITOBJECT_TYPES = [
 
 @dataclass
 class Suggestion:
+    """One high-surprisal token with everything needed to explain it."""
+
     context_type: ContextType
     index: int
     time: float
     group: Group
-    group_str: str
-    previous_group_str: str
-    next_group: Optional[Group]
-    next_beat_group: Optional[Group]
     event: Event
     event_str: str
     expected_event: Event
     expected_event_str: str
     surprisal: float
+    group_str: str = "None"
+    previous_group_str: str = "None"
+    next_group: Optional[Group] = None
+    next_beat_group: Optional[Group] = None
     combo_index: Optional[int] = None
     timestamp_time: Optional[float] = None
 
 
 def type_to_str(event_type: EventType) -> str:
     return event_type.value.replace("_", " ").title()
+
+
+class _GroupIndex:
+    """Event-group bookkeeping for one analyzed context: the group list, the
+    event→group mapping, and the human-readable labels derived from them."""
+
+    def __init__(self, events, event_times, types_first: bool):
+        self.events = events
+        self.groups, indices_per_group = get_groups(
+            events, event_times=event_times, types_first=types_first
+        )
+        self.group_of = [0] * len(events)
+        for gi, event_indices in enumerate(indices_per_group):
+            for ei in event_indices:
+                self.group_of[ei] = gi
+
+    def label(self, gi: int, event_index: Optional[int] = None) -> str:
+        """Human label for group ``gi``. When ``event_index`` names a
+        hitsound/volume event inside its own slider-end group, the label
+        resolves to the specific repeat ("Slider Body" / "Slider Repeat #n");
+        anchors are numbered within their slider."""
+        if not (0 <= gi < len(self.groups)):
+            return "None"
+        group = self.groups[gi]
+        if (
+            group.event_type == EventType.LAST_ANCHOR
+            and event_index is not None
+            and gi == self.group_of[event_index]
+            and self.events[event_index].type in HS_TYPES
+        ):
+            return self._repeat_label(event_index)
+        if group.event_type in ANCHOR_TYPES:
+            return f"{type_to_str(group.event_type)} #{self._anchor_number(gi)}"
+        return type_to_str(group.event_type)
+
+    def _repeat_label(self, event_index: int) -> str:
+        # a slider-end group holds one hitsound/volume event per repeat; the
+        # event's position among its same-typed predecessors (back to the
+        # slider's TIME_SHIFT) says which repeat it belongs to
+        wanted = self.events[event_index].type
+        repeat = 0
+        for prior in reversed(self.events[:event_index]):
+            if prior.type == EventType.TIME_SHIFT:
+                break
+            if prior.type == wanted:
+                repeat += 1
+        return f"Slider Repeat #{repeat}" if repeat else "Slider Body"
+
+    def _anchor_number(self, gi: int) -> int:
+        # anchors display 1-based counting the slider head as #1
+        number = 2
+        for prior in reversed(self.groups[:gi]):
+            if prior.event_type == EventType.SLIDER_HEAD:
+                break
+            if prior.event_type in ANCHOR_TYPES:
+                number += 1
+        return number
+
+    def next_timing_group(self, gi: int) -> Optional[Group]:
+        return next(
+            (g for g in self.groups[gi + 1:] if g.event_type in TIMING_TYPES_), None
+        )
+
+    def previous_positioned_label(self, gi: int) -> str:
+        for prior_gi in range(gi - 1, -1, -1):
+            if self.groups[prior_gi].x is not None:
+                return self.label(prior_gi)
+        return "None"
+
+
+def _worth_reporting(s: Suggestion, threshold: float) -> bool:
+    """Noise gate over raw surprisals (reference: mai_mod.py:206-215)."""
+    if s.surprisal < threshold:
+        return False
+    # position tokens on slider ends are determined by the curve, not the
+    # mapper — the model's disagreement there is not actionable
+    if s.group.event_type == EventType.SLIDER_END and s.event.type in POSITION_TYPES:
+        return False
+    # sub-10ms timing disagreements are quantization noise
+    if (
+        s.event.type == EventType.TIME_SHIFT
+        and s.expected_event.type == EventType.TIME_SHIFT
+        and abs(s.expected_event.value - s.event.value) <= 10
+    ):
+        return False
+    # snapping-vs-beat confusions within 2ms of the next group are the same
+    # moment tokenized two ways
+    timing_confusion = (
+        s.event.type == EventType.SNAPPING and s.expected_event.type in TIMING_TYPES_
+    ) or (
+        s.event.type in TIMING_TYPES_ and s.expected_event.type == EventType.SNAPPING
+    )
+    if timing_confusion and s.next_group and abs(s.time - s.next_group.time) < 2:
+        return False
+    return True
+
+
+def _combo_positions(hitobjects) -> list[int]:
+    """1-based combo position of every hit object, resetting on new combos,
+    spinners (either side), and >10s gaps (reference: mai_mod.py:222-231)."""
+    positions = []
+    for i, ho in enumerate(hitobjects):
+        resets = (
+            i == 0
+            or ho.new_combo
+            or isinstance(ho, Spinner)
+            or isinstance(hitobjects[i - 1], Spinner)
+            or ho.time - hitobjects[i - 1].time > 10000
+        )
+        positions.append(1 if resets else positions[-1] + 1)
+    return positions
+
+
+def _attach_editor_locations(suggestions, hitobjects) -> None:
+    """Give each hit-object-related suggestion the editor address of the
+    object it points at: the last hit object starting at or before the
+    suggestion time (±1ms), as (combo position, object time). The osu! editor
+    resolves ``osu://edit/<time> (<combo>)`` links through exactly that pair."""
+    if not hitobjects:
+        return
+    times = [ho.time for ho in hitobjects]
+    combos = _combo_positions(hitobjects)
+    from bisect import bisect_right
+
+    for s in suggestions:
+        if s.group.event_type not in HITOBJECT_TYPES:
+            continue
+        # the last object with time - 1 <= s.time (clamped to the first)
+        at = max(0, bisect_right(times, s.time + 1) - 1)
+        s.combo_index = combos[at]
+        s.timestamp_time = int(times[at] + 1e-5)
+
+
+def _mmssms(t: int) -> str:
+    """osu! editor timestamp: minutes:seconds:milliseconds."""
+    return f"{t // 60000:02}:{t // 1000 % 60:02}:{t % 1000:03}"
+
+
+def _edit_address(s: Suggestion) -> str:
+    """Address part of an ``osu://edit`` link: the object time, plus the
+    combo position in URL-encoded parentheses when one is known."""
+    t = int(s.time if s.timestamp_time is None else s.timestamp_time)
+    address = _mmssms(t)
+    if s.combo_index is not None:
+        address += f"%20({s.combo_index})"
+    return address
+
+
+# (threshold on surprisal/10, left padding, rich markup), most severe first
+_SURPRISAL_TIERS = [
+    (10000, 0, "bold red"),
+    (1000, 1, "bold red"),
+    (100, 2, "bold red"),
+    (10, 3, "bold yellow"),
+    (1, 4, "bold"),
+]
+
+
+def _surprisal_text(surprisal: float) -> str:
+    """Right-aligned importance figure, color-coded by magnitude."""
+    value = surprisal / 10.0
+    for threshold, pad, markup in _SURPRISAL_TIERS:
+        if value >= threshold:
+            return " " * pad + f"[{markup}]({value:.0f})[/{markup}]"
+    return f"    ({value:.0f})"
+
+
+def _categorize(s: Suggestion, *, timing_conditioned: bool,
+                beatmap_mode: int) -> tuple:
+    """(category, explanation template) for one suggestion. Special cases go
+    most-specific-first; anything unmatched falls through to the
+    (real, expected) pair table, then to Misc (reference: mai_mod.py:264-308)."""
+    real, expected = s.event.type, s.expected_event.type
+
+    # the model predicted the time of the next beat where the map has an
+    # object: it expects no hit object here at all
+    if (
+        timing_conditioned
+        and real == EventType.TIME_SHIFT and expected == EventType.TIME_SHIFT
+        and s.group.event_type not in TIMING_TYPES_
+        and s.next_beat_group is not None
+        and abs(s.expected_event.value - s.next_beat_group.time) <= 10
+    ):
+        return "Rhythm", "Unexpected hit object."
+
+    if real == EventType.LAST_ANCHOR and expected in ANCHOR_TYPES:
+        return "Sliders", "Expected additional anchors."
+    if real in ANCHOR_TYPES and expected == EventType.LAST_ANCHOR:
+        return "Sliders", "Expected last anchor."
+    if real in ANCHOR_TYPES and expected in ANCHOR_TYPES:
+        return "Sliders", "Expected a $expected_type instead of a $real_type."
+    if real in HITOBJECT_TYPES and expected in HITOBJECT_TYPES:
+        return "Rhythm", "Expected a $expected_type instead of a $real_type."
+
+    if real == expected and real in (EventType.TIME_SHIFT, EventType.SNAPPING):
+        # what the mistimed token belongs to decides the category
+        if s.group.event_type in HITOBJECT_TYPES:
+            category = "Rhythm"
+        elif s.group.event_type == EventType.SCROLL_SPEED_CHANGE:
+            category = "Scroll Speeds"
+        elif s.group.event_type == EventType.KIAI:
+            category = "Kiai"
+        else:
+            category = "Timing"
+        if real == EventType.TIME_SHIFT:
+            return category, "Expected object at $expected_value instead of $real_value."
+        return category, "Expected snapping $expected_value instead of $real_value."
+
+    if real == EventType.SCROLL_SPEED and expected == EventType.SCROLL_SPEED:
+        # osu!standard calls this dimension slider velocity
+        if beatmap_mode == 0:
+            return "Sliders", "Expected slider velocity $expected_value instead of $real_value."
+        return "Scroll Speeds", "Expected scroll speed $expected_value instead of $real_value."
+
+    if expected == EventType.CONTROL:
+        if real == EventType.KIAI:
+            which = "start" if s.event.value == 1 else "end"
+            return "Kiai", f"Unexpected kiai section {which}."
+        return "Timing", "Expected end of beatmap."
+
+    return MOD_EXPLANATIONS.get(
+        (real, expected),
+        ("Misc", "Expected $expected_type $expected_value instead of $real_type $real_value."),
+    )
 
 
 def ai_mod(
@@ -128,204 +354,50 @@ def ai_mod(
     )
 
     suggestions: list[Suggestion] = []
+    types_first = i_args.train.data.types_first
     for context in result:
-        groups, group_indices = get_groups(
-            context["events"], event_times=context["event_times"], types_first=i_args.train.data.types_first
+        index = _GroupIndex(context["events"], context["event_times"], types_first)
+        rows = zip(
+            context["events"], context["events_str"],
+            context["expected_events"], context["expected_events_str"],
+            context["surprisals"], context["event_times"],
         )
-        event_groups = [0] * len(context["events"])
-        for group_index, indices in enumerate(group_indices):
-            for index in indices:
-                event_groups[index] = group_index
+        for ei, (event, event_str, expected, expected_str, surprisal, time) in enumerate(rows):
+            gi = index.group_of[ei]
+            suggestions.append(Suggestion(
+                context_type=context["context_type"],
+                index=ei,
+                time=time,
+                group=index.groups[gi],
+                event=event,
+                event_str=event_str,
+                expected_event=expected,
+                expected_event_str=expected_str,
+                surprisal=surprisal,
+                group_str=index.label(gi, event_index=ei),
+                previous_group_str=index.previous_positioned_label(gi),
+                next_group=index.groups[gi + 1] if gi + 1 < len(index.groups) else None,
+                next_beat_group=index.next_timing_group(gi),
+            ))
 
-        context_suggestions = [
-            Suggestion(context["context_type"], *z)
-            for z in zip(
-                range(len(context["events"])),
-                context["event_times"],
-                [groups[event_groups[i]] for i in range(len(context["events"]))],
-                ["None"] * len(context["events"]),
-                ["None"] * len(context["events"]),
-                [
-                    groups[event_groups[i] + 1] if event_groups[i] + 1 < len(groups) else None
-                    for i in range(len(context["events"]))
-                ],
-                [None] * len(context["events"]),
-                context["events"],
-                context["events_str"],
-                context["expected_events"],
-                context["expected_events_str"],
-                context["surprisals"],
-                [None] * len(context["events"]),
-                [None] * len(context["events"]),
-            )
-        ]
+    suggestions.sort(key=lambda s: s.time)
+    suggestions = [s for s in suggestions if _worth_reporting(s, surprisal_threshold)]
 
-        def get_group_str(group_index: int, s: Suggestion) -> str:
-            if group_index < 0 or group_index >= len(groups):
-                return "None"
-            group = groups[group_index]
-            if group.event_type == EventType.LAST_ANCHOR and group_index == event_groups[s.index] and s.event.type in HS_TYPES:
-                repeat_index = 0
-                for j in range(s.index - 1, -1, -1):
-                    if context["events"][j].type == EventType.TIME_SHIFT:
-                        break
-                    if context["events"][j].type == s.event.type:
-                        repeat_index += 1
-                return "Slider Body" if repeat_index == 0 else f"Slider Repeat #{repeat_index}"
-            if group.event_type in ANCHOR_TYPES:
-                anchor_index = 2
-                for j in range(group_index - 1, -1, -1):
-                    if groups[j].event_type == EventType.SLIDER_HEAD:
-                        break
-                    if groups[j].event_type in ANCHOR_TYPES:
-                        anchor_index += 1
-                return f"{type_to_str(group.event_type)} #{anchor_index}"
-            return type_to_str(group.event_type)
-
-        def get_next_beat_group(s: Suggestion) -> Optional[Group]:
-            for i in range(event_groups[s.index] + 1, len(groups)):
-                if groups[i].event_type in TIMING_TYPES_:
-                    return groups[i]
-            return None
-
-        for s in context_suggestions:
-            group_index = event_groups[s.index]
-            s.group_str = get_group_str(group_index, s)
-            s.next_beat_group = get_next_beat_group(s)
-            for i in range(group_index - 1, -1, -1):
-                if groups[i].x is not None:
-                    s.previous_group_str = get_group_str(i, s)
-                    break
-
-        suggestions.extend(context_suggestions)
-
-    suggestions.sort(key=lambda x: x.time)
-
-    suggestions = [
-        s
-        for s in suggestions
-        if (
-            s.surprisal >= surprisal_threshold
-            and not (s.group.event_type == EventType.SLIDER_END and s.event.type in POSITION_TYPES)
-            and not (
-                s.event.type == EventType.TIME_SHIFT
-                and s.expected_event.type == EventType.TIME_SHIFT
-                and abs(s.expected_event.value - s.event.value) <= 10
-            )
-            and not (
-                s.event.type == EventType.SNAPPING
-                and s.expected_event.type in TIMING_TYPES_
-                and s.next_group
-                and abs(s.time - s.next_group.time) < 2
-            )
-            and not (
-                s.event.type in TIMING_TYPES_
-                and s.expected_event.type == EventType.SNAPPING
-                and s.next_group
-                and abs(s.time - s.next_group.time) < 2
-            )
-        )
-    ]
-
-    # combo-indexed osu://edit timestamps
     beatmap = Beatmap.from_path(beatmap_path)
-    hitobjects = beatmap.hit_objects(stacking=False)
-    for s in suggestions:
-        if s.group.event_type not in HITOBJECT_TYPES:
-            continue
-        combo_index = 0
-        for i, ho in enumerate(hitobjects):
-            if ho.time - 1 > s.time and i > 0:
-                s.combo_index = combo_index
-                s.timestamp_time = int(hitobjects[i - 1].time + 1e-5)
-                break
-            combo_index += 1
-            if (
-                ho.new_combo
-                or isinstance(ho, Spinner)
-                or (i > 0 and isinstance(hitobjects[i - 1], Spinner))
-                or (i > 0 and ho.time - hitobjects[i - 1].time > 10000)
-            ):
-                combo_index = 1
-        if combo_index > 0 and s.combo_index is None:
-            s.combo_index = combo_index
-            s.timestamp_time = int(hitobjects[-1].time + 1e-5)
+    _attach_editor_locations(suggestions, beatmap.hit_objects(stacking=False))
 
     def timestamp_text(s: Suggestion) -> str:
-        t = int(s.time)
-        t2 = int(s.timestamp_time) if s.timestamp_time is not None else t
-        timestamp = f"{t // 60000:02}:{(t // 1000) % 60:02}:{t % 1000:03}"
-        url = f"osu://edit/{t2 // 60000:02}:{(t2 // 1000) % 60:02}:{t2 % 1000:03}"
-        if s.combo_index is not None:
-            url += f"%20({s.combo_index})"
+        timestamp = _mmssms(int(s.time))
+        url = f"osu://edit/{_edit_address(s)}"
         return f"[link={url}][green]{timestamp}[/green][/link]"
-
-    def surprisal_text(surprisal: float) -> str:
-        surprisal /= 10.0
-        if surprisal >= 10000:
-            return f"[bold red]({surprisal:.0f})[/bold red]"
-        if surprisal >= 1000:
-            return f" [bold red]({surprisal:.0f})[/bold red]"
-        if surprisal >= 100:
-            return f"  [bold red]({surprisal:.0f})[/bold red]"
-        if surprisal >= 10:
-            return f"   [bold yellow]({surprisal:.0f})[/bold yellow]"
-        if surprisal >= 1:
-            return f"    [bold]({surprisal:.0f})[/bold]"
-        return f"    ({surprisal:.0f})"
 
     suggestions_by_category: dict[str, list[str]] = {}
     records: list[dict] = []
+    timing_conditioned = i_args.train.data.add_timing
     for s in suggestions:
-        if (
-            i_args.train.data.add_timing
-            and s.event.type == EventType.TIME_SHIFT
-            and s.expected_event.type == EventType.TIME_SHIFT
-            and s.group.event_type not in TIMING_TYPES_
-            and s.next_beat_group
-            and abs(s.expected_event.value - s.next_beat_group.time) <= 10
-        ):
-            category, template = ("Rhythm", "Unexpected hit object.")
-        elif s.event.type == EventType.LAST_ANCHOR and s.expected_event.type in ANCHOR_TYPES:
-            category, template = ("Sliders", "Expected additional anchors.")
-        elif s.event.type in ANCHOR_TYPES and s.expected_event.type == EventType.LAST_ANCHOR:
-            category, template = ("Sliders", "Expected last anchor.")
-        elif s.event.type in ANCHOR_TYPES and s.expected_event.type in ANCHOR_TYPES:
-            category, template = ("Sliders", "Expected a $expected_type instead of a $real_type.")
-        elif s.event.type in HITOBJECT_TYPES and s.expected_event.type in HITOBJECT_TYPES:
-            category, template = ("Rhythm", "Expected a $expected_type instead of a $real_type.")
-        elif s.event.type in (EventType.TIME_SHIFT, EventType.SNAPPING) and s.expected_event.type == s.event.type:
-            if s.event.type == EventType.TIME_SHIFT:
-                template = "Expected object at $expected_value instead of $real_value."
-            else:
-                template = "Expected snapping $expected_value instead of $real_value."
-            if s.group.event_type in HITOBJECT_TYPES:
-                category = "Rhythm"
-            elif s.group.event_type == EventType.SCROLL_SPEED_CHANGE:
-                category = "Scroll Speeds"
-            elif s.group.event_type == EventType.KIAI:
-                category = "Kiai"
-            else:
-                category = "Timing"
-        elif s.event.type == EventType.SCROLL_SPEED and s.expected_event.type == EventType.SCROLL_SPEED:
-            if beatmap.mode == 0:
-                category, template = ("Sliders", "Expected slider velocity $expected_value instead of $real_value.")
-            else:
-                category, template = ("Scroll Speeds", "Expected scroll speed $expected_value instead of $real_value.")
-        elif s.expected_event.type == EventType.CONTROL:
-            if s.event.type == EventType.KIAI:
-                if s.event.value == 1:
-                    category, template = ("Kiai", "Unexpected kiai section start.")
-                else:
-                    category, template = ("Kiai", "Unexpected kiai section end.")
-            else:
-                category, template = ("Timing", "Expected end of beatmap.")
-        else:
-            category, template = MOD_EXPLANATIONS.get(
-                (s.event.type, s.expected_event.type),
-                ("Misc", "Expected $expected_type $expected_value instead of $real_type $real_value."),
-            )
-
+        category, template = _categorize(
+            s, timing_conditioned=timing_conditioned, beatmap_mode=beatmap.mode
+        )
         explanation = Template(template).safe_substitute(
             {
                 "expected_value": s.expected_event_str,
@@ -337,19 +409,14 @@ def ai_mod(
             }
         )
         suggestions_by_category.setdefault(category, []).append(
-            f"{surprisal_text(s.surprisal)} {timestamp_text(s)} ({s.group_str}) - {explanation}"
+            f"{_surprisal_text(s.surprisal)} {timestamp_text(s)} ({s.group_str}) - {explanation}"
         )
-        t = int(s.time)
-        t2 = int(s.timestamp_time) if s.timestamp_time is not None else t
-        edit_link = f"osu://edit/{t2 // 60000:02}:{(t2 // 1000) % 60:02}:{t2 % 1000:03}"
-        if s.combo_index is not None:
-            edit_link += f"%20({s.combo_index})"
         records.append({
             "category": category,
             "message": explanation,
             "surprisal": float(s.surprisal) / 10.0,
-            "timestamp": f"{t // 60000:02}:{(t // 1000) % 60:02}:{t % 1000:03}",
-            "edit_link": edit_link,
+            "timestamp": _mmssms(int(s.time)),
+            "edit_link": f"osu://edit/{_edit_address(s)}",
             "group": s.group_str,
         })
 
