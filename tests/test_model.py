@@ -278,6 +278,45 @@ def test_t5_build_config():
     assert not bb.conv_stem
 
 
+def test_build_config_mixed_precision_dtype():
+    """The accelerate-style mixed_precision flag sets the flax COMPUTE dtype
+    (v32.yaml trains bf16, reference train.py:57); params stay fp32, 'no'
+    keeps fp32 compute, and fp16 maps to bf16 (no fp16 path on the MXU)."""
+    import warnings
+
+    from mapperatorinator_tpu.config import compose, schema
+    from mapperatorinator_tpu.models.mapperatorinator import build_config
+    from mapperatorinator_tpu.osu import build_vocabulary
+
+    args = compose("/root/repo/configs/train", "v32", schema_cls=schema.TrainConfig)
+    args.data.dataset_type = "none"
+    args.data.mappers_path = ""
+    args.data.tags_metadata_path = ""
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        vocab = build_vocabulary(args)
+
+    assert args.mixed_precision == "bf16"  # the shipped v32 training default
+    assert build_config(args, vocab).backbone.dtype == jnp.bfloat16
+
+    for flag, expected in (("no", jnp.float32), ("fp16", jnp.bfloat16),
+                           (None, jnp.float32)):
+        args.mixed_precision = flag
+        assert build_config(args, vocab).backbone.dtype == expected, flag
+
+    # bf16 compute must not change the parameter dtypes (fp32 master weights)
+    args.mixed_precision = "bf16"
+    model = Mapperatorinator(build_config(args, vocab))
+    hop = 128
+    params = model.init(
+        jax.random.PRNGKey(0),
+        frames=jnp.zeros((1, hop * 15), jnp.float32),
+        decoder_input_ids=jnp.ones((1, 4), jnp.int32),
+    )
+    dtypes = {x.dtype for x in jax.tree.leaves(params)}
+    assert dtypes == {jnp.dtype(jnp.float32)}, dtypes
+
+
 def test_ngpt_nwhisper_cached_decode_matches_full():
     """nGPT-normalized backbone: unit-norm hidden states and exact stepwise
     decode (reference NWhisper: modeling_nwhisper.py:86-262)."""
