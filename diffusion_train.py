@@ -18,29 +18,50 @@ REPO_ROOT = Path(__file__).resolve().parent
 sys.path.insert(0, str(REPO_ROOT))
 
 
-def make_diffusion_train_step(model, diffusion, tx, ema_decay: float = 0.9999, max_t: int = 1000):
+def make_diffusion_train_step(model, diffusion, tx, ema_decay: float = 0.9999, max_t: int = 1000,
+                              sampler=None):
+    """Build the jitted DiT train step.
+
+    ``sampler=None`` (or a "uniform" sampler) reproduces the reference's
+    plain capped-uniform timestep draw (osu_diffusion/train.py:192). A
+    "loss-second-moment" sampler importance-resamples timesteps and
+    reweights the per-sample losses, with its ring-buffer history updated
+    inside the same compiled step (see diffusion/schedule_sampler.py).
+    The step carries ``sampler_state`` through in both modes ({} when
+    uniform) so callers are mode-agnostic.
+    """
     import jax
     import jax.numpy as jnp
     import optax
 
-    def loss_fn(params, batch, rng):
+    loss_aware = sampler is not None and sampler.name != "uniform"
+
+    def loss_fn(params, batch, rng, sampler_state):
         rng_t, rng_noise = jax.random.split(rng)
         n = batch["x"].shape[0]
-        t = jax.random.randint(rng_t, (n,), 0, max_t)
+        if loss_aware:
+            t, iw = sampler.sample(sampler_state, rng_t, n)
+        else:
+            t = jax.random.randint(rng_t, (n,), 0, max_t)
+            iw = jnp.ones((n,), jnp.float32)
 
         def model_fn(x, tt):
             return model.apply(params, x, tt, batch["c"], batch["y"])
 
         terms = diffusion.training_losses(model_fn, batch["x"], t, rng_noise)
-        return terms["loss"].mean()
+        per_sample = terms["loss"]
+        return (per_sample * iw).mean(), (t, per_sample)
 
     @jax.jit
-    def step(params, ema_params, opt_state, batch, rng):
-        loss, grads = jax.value_and_grad(loss_fn)(params, batch, rng)
+    def step(params, ema_params, opt_state, batch, rng, sampler_state):
+        (loss, (t, per_sample)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            params, batch, rng, sampler_state)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         ema_params = jax.tree.map(lambda e, p: e * ema_decay + p * (1 - ema_decay), ema_params, params)
-        return params, ema_params, opt_state, loss
+        if loss_aware:
+            sampler_state = sampler.update(sampler_state, t, jax.lax.stop_gradient(per_sample))
+        return params, ema_params, opt_state, loss, sampler_state
 
     return step
 
@@ -104,7 +125,16 @@ def main(argv=None):
                      optax.adamw(schedule, weight_decay=args.optim.weight_decay))
     opt_state = tx.init(params)
 
-    step_fn = make_diffusion_train_step(model, diffusion, tx, max_t=args.model.max_diffusion_step)
+    from mapperatorinator_tpu.diffusion.schedule_sampler import make_schedule_sampler
+
+    sampler = make_schedule_sampler(
+        getattr(args.model, "schedule_sampler", "uniform") or "uniform",
+        num_timesteps=args.model.diffusion_steps,
+        max_timestep=args.model.max_diffusion_step,
+    )
+    sampler_state = sampler.init()
+    step_fn = make_diffusion_train_step(model, diffusion, tx,
+                                        max_t=args.model.max_diffusion_step, sampler=sampler)
     checkpoints = CheckpointManager(Path(args.checkpoint_path or "diffusion_checkpoints"))
     logger = MetricsLogger("logs/diffusion", log_with=args.logging.log_with)
 
@@ -122,7 +152,8 @@ def main(argv=None):
             progressed = True
             rng, sub = jax.random.split(rng)
             batch_j = {k: jnp.asarray(v) for k, v in batch.items()}
-            params, ema_params, opt_state, loss = step_fn(params, ema_params, opt_state, batch_j, sub)
+            params, ema_params, opt_state, loss, sampler_state = step_fn(
+                params, ema_params, opt_state, batch_j, sub, sampler_state)
             step += 1
             if step % args.logging.every_steps == 0:
                 logger.log({"train/loss": float(loss)}, step)

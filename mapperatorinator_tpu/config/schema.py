@@ -301,6 +301,9 @@ class DiffusionModelConfig:
     diffusion_steps: int = 1000
     max_diffusion_step: int = 100
     context_size: int = 272
+    # timestep draw: "uniform" (reference train.py:192 behavior) or
+    # "loss-second-moment" importance resampling (timestep_sampler.py:120)
+    schedule_sampler: str = "uniform"
 
 
 @dataclass
