@@ -189,10 +189,17 @@ def e2e_3min_seconds(on_tpu: bool, parallel: bool = False) -> float:
             args.output_type = [ContextType.MAP, ContextType.SV]
             return inference.generate(args, audio_path=str(audio), output_path=str(tmp), **common)
 
-    # warmup: compile the prompt buckets. Sequential mode reuses the same
-    # batch-1 program for any song length, so a short clip suffices;
-    # parallel mode batches all windows at once, so warm with the real song
-    # to compile its chunk bucket (power-of-2 padded, reused across songs)
+    # warmup: compile the decode-loop programs (one per context pipeline ×
+    # batch shape — prompt-length independent) with a short clip, and every
+    # prompt-bucket prefill program explicitly (B=1 for the timing pass,
+    # B=2 for CFG contexts). Parallel mode batches all windows at once, so
+    # warm with the real song to compile its chunk bucket (power-of-2
+    # padded, reused across songs)
+    enc1 = engine.encode_with_cond(
+        jnp.zeros((1, HOP * (args.train.data.src_seq_len - 1)), jnp.float32)
+    )
+    engine.precompile(enc1)  # timing pass (no CFG)
+    engine.precompile(jnp.concatenate([enc1, enc1], axis=0))  # CFG dual batch
     run_once(wav if parallel else wav_warm)
 
     t0 = time.perf_counter()

@@ -16,6 +16,13 @@ reference stack:
   sampled continuation (reference: modeling_mapperatorinator.py:230-271),
 * left-padded prompts with attention masks; finished rows emit pad.
 
+Compilation strategy: generation is split into a small per-prompt-bucket
+prefill program (right-pads the prompt chunk to a power-of-two, writes its
+KV into a fixed ``max_length`` buffer) and ONE expensive while-loop program
+per (B, max_length, pipeline, cfg) that starts at the dynamic prompt
+length — so serving never re-traces the decode loop when a new prompt
+length shows up.
+
 Sampling uses ``jax.random.categorical`` over the processed logits. Exact
 torch-RNG-stream equality with the reference is impossible cross-framework;
 parity is pinned at processed-logits level (SURVEY.md §7 hard part 1) and
@@ -120,39 +127,86 @@ class DecodeEngine:
         if decoder_attention_mask is None:
             decoder_attention_mask = decoder_input_ids != self.pad_token_id
 
-        # Bucket the prompt length (power-of-two) so windows with varying
-        # prompt sizes reuse a handful of compiled programs. Extra left pads
-        # are output-invariant: RoPE positions are mask-aware, pads are
-        # masked out of attention, and the generation budget is the dynamic
-        # ``gen_limit`` below, preserving HF's max_length = prompt + generated
-        # semantics regardless of padding.
-        P = _bucket(P_orig)
+        # Two-stage compile split. The prompt chunk is RIGHT-padded to a
+        # power-of-two bucket and prefilled into a fixed ``max_length`` token
+        # buffer by a small pipeline-independent program keyed by (B, P);
+        # generation then continues at the dynamic offset ``P_orig`` inside
+        # ONE expensive while-loop program keyed only by
+        # (B, max_length, pipeline, cfg). Bucket right-pads write garbage KV
+        # that is masked out of attention and overwritten by generated
+        # tokens, so outputs are bucket-invariant; a new prompt bucket costs
+        # a ~seconds prefill compile instead of re-tracing the decode loop
+        # (measured 22-32 s per bucket — two in-run misses once cost a
+        # 3-minute-song e2e run 55 of its 84 seconds).
+        P = min(_bucket(P_orig), max_length)
         if P != P_orig:
             pad = P - P_orig
-            decoder_input_ids = np.pad(decoder_input_ids, ((0, 0), (pad, 0)), constant_values=self.pad_token_id)
-            decoder_attention_mask = np.pad(decoder_attention_mask, ((0, 0), (pad, 0)), constant_values=False)
-        gen_limit = max_length - P_orig
+            decoder_input_ids = np.pad(decoder_input_ids, ((0, 0), (0, pad)), constant_values=self.pad_token_id)
+            decoder_attention_mask = np.pad(decoder_attention_mask, ((0, 0), (0, pad)), constant_values=False)
 
         eos_mask = np.zeros(pipeline.vocab_size, bool)
         for e in eos_ids:
             eos_mask[e] = True
 
-        key = (B, P, max_length, pipeline, cfg_scale)
-        fn = self._generate_fn_cache.get(key)
-        if fn is None:
-            fn = self._build_generate_fn(B, P, max_length, pipeline, cfg_scale)
-            self._generate_fn_cache[key] = fn
-
-        tokens, lengths = fn(
+        prefill = self._get_prefill_fn(B, P, max_length)
+        cache, tokens, attn, n_valid = prefill(
             self.params,
             encoder_states,
             jnp.asarray(decoder_input_ids, jnp.int32),
             jnp.asarray(decoder_attention_mask, bool),
+        )
+
+        key = ("loop", B, max_length, pipeline, cfg_scale)
+        fn = self._generate_fn_cache.get(key)
+        if fn is None:
+            fn = self._build_loop_fn(B, max_length, pipeline, cfg_scale)
+            self._generate_fn_cache[key] = fn
+
+        tokens, lengths = fn(
+            self.params,
+            cache,
+            tokens,
+            attn,
+            n_valid,
+            jnp.asarray(P_orig, jnp.int32),
             jnp.asarray(eos_mask),
-            jnp.asarray(gen_limit, jnp.int32),
             jax.random.PRNGKey(seed),
         )
         return np.asarray(tokens), np.asarray(lengths)
+
+    def precompile(
+        self,
+        encoder_states,
+        max_length: Optional[int] = None,
+        max_prompt: Optional[int] = None,
+    ) -> None:
+        """Compile every prompt-bucket prefill program for the batch shape of
+        ``encoder_states`` ahead of time (serving warmup). The decode loop
+        itself still compiles on the first :meth:`generate` call per
+        (pipeline, cfg) — callers warm that with one real request; this
+        covers the long tail of prompt lengths such a request cannot reach."""
+        max_length = max_length or self.max_length
+        limit = min(max_prompt or max_length, max_length)
+        enc = jnp.asarray(encoder_states)
+        B = enc.shape[0]
+        p = 64
+        while True:
+            P = min(p, limit)
+            fn = self._get_prefill_fn(B, P, max_length)
+            ids = jnp.full((B, P), self.pad_token_id, jnp.int32)
+            mask = jnp.zeros((B, P), bool).at[:, 0].set(True)
+            jax.block_until_ready(fn(self.params, enc, ids, mask))
+            if p >= limit:
+                break
+            p *= 2
+
+    def _get_prefill_fn(self, B: int, P: int, max_length: int):
+        key = ("prefill", B, P, max_length)
+        fn = self._generate_fn_cache.get(key)
+        if fn is None:
+            fn = self._build_prefill_fn(B, P, max_length)
+            self._generate_fn_cache[key] = fn
+        return fn
 
     def generate_beams(
         self,
@@ -688,7 +742,48 @@ class DecodeEngine:
 
         return generate
 
-    def _build_generate_fn(self, B: int, P: int, max_length: int, pipeline: LogitsPipeline, cfg_scale: float):
+    def _build_prefill_fn(self, B: int, P: int, max_length: int):
+        """Stage 1 of :meth:`generate`: allocate the fixed ``max_length``
+        buffers, run one chunked ``decode_step`` over the right-padded prompt
+        to populate its KV slots, and return the carry pieces the decode loop
+        consumes. Pipeline-independent, so every (pipeline, cfg) combination
+        shares these per-prompt-bucket programs."""
+        model = self.model
+        pad_id = self.pad_token_id
+
+        def apply(params, method, *args, **kw):
+            return model.apply(params, *args, method=getattr(type(model), method), **kw)
+
+        @jax.jit
+        def prefill(params, encoder_states, prompt_ids, prompt_mask):
+            cache = apply(params, "init_cache", B, max_length, encoder_states)
+            tokens = jnp.full((B, max_length), pad_id, jnp.int32)
+            tokens = tokens.at[:, :P].set(prompt_ids)
+            attn = jnp.zeros((B, max_length), bool).at[:, :P].set(prompt_mask)
+            # logical positions ignore pads -> bucketing is output-invariant
+            prompt_positions = jnp.clip(jnp.cumsum(prompt_mask, axis=1) - 1, 0)
+            n_valid = prompt_mask.sum(axis=1).astype(jnp.int32)  # (B,)
+            # logical position of every cache slot (pads clamp; they are
+            # masked anyway) — consumed by t5_relpos bias
+            k_positions = jnp.clip(jnp.cumsum(attn, axis=1) - 1, 0)
+
+            prompt_embeds = apply(params, "embed_tokens", prompt_ids)
+            _, cache = apply(
+                params, "decode_step", prompt_embeds, cache, 0,
+                self_mask=attn[:, None, None, :], positions=prompt_positions,
+                k_positions=k_positions,
+            )
+            return cache, tokens, attn, n_valid
+
+        return prefill
+
+    def _build_loop_fn(self, B: int, max_length: int, pipeline: LogitsPipeline, cfg_scale: float):
+        """Stage 2 of :meth:`generate`: the compiled decode while-loop.
+        Starts at the DYNAMIC prompt length ``start_len`` — its first
+        iteration recomputes the last prompt token's logits (rewriting that
+        slot's KV with identical values), so no prompt-shape-dependent state
+        crosses the stage boundary and one program serves every prompt
+        bucket."""
         model = self.model
         pad_id = self.pad_token_id
         use_cfg = cfg_scale > 1.0
@@ -696,35 +791,18 @@ class DecodeEngine:
         def apply(params, method, *args, **kw):
             return model.apply(params, *args, method=getattr(type(model), method), **kw)
 
-        # static token buffer: bucketed prompt + full generation budget
-        buffer_len = P + max_length
+        buffer_len = max_length
 
-        @functools.partial(jax.jit, donate_argnums=())
-        def generate(params, encoder_states, prompt_ids, prompt_mask, eos_mask, gen_limit, rng):
-            # 1. init cache and prefill with the prompt chunk
-            cache = apply(params, "init_cache", B, buffer_len, encoder_states)
-
-            tokens = jnp.full((B, buffer_len), pad_id, jnp.int32)
-            tokens = tokens.at[:, :P].set(prompt_ids)
-            attn = jnp.zeros((B, buffer_len), bool).at[:, :P].set(prompt_mask)
-            # logical positions ignore left pads -> bucketing is output-invariant
-            prompt_positions = jnp.clip(jnp.cumsum(prompt_mask, axis=1) - 1, 0)
-            n_valid = prompt_mask.sum(axis=1).astype(jnp.int32)  # (B,)
-            # logical position of every cache slot (left pads clamp to 0;
-            # they are masked anyway) — consumed by t5_relpos bias
-            k_positions = jnp.maximum(
-                jnp.arange(buffer_len)[None, :] - (P - n_valid)[:, None], 0
+        @functools.partial(jax.jit, donate_argnums=(1, 2, 3))
+        def generate(params, cache, tokens, attn, n_valid, start_len, eos_mask, rng):
+            # logical position of every cache slot: prompt slots keep their
+            # pad-free cumsum rank; generated slots (>= start_len) continue
+            # from each row's logical length
+            prompt_rank = jnp.clip(jnp.cumsum(attn, axis=1) - 1, 0)
+            slot = jnp.arange(buffer_len)[None, :]
+            k_positions = jnp.where(
+                slot < start_len, prompt_rank, n_valid[:, None] + slot - start_len
             )
-
-            # key-side mask over cache slots: (B, 1, 1, max_length)
-            self_mask = attn[:, None, None, :]
-            prompt_embeds = apply(params, "embed_tokens", prompt_ids)
-            logits, cache = apply(
-                params, "decode_step", prompt_embeds, cache, 0,
-                self_mask=self_mask, positions=prompt_positions,
-                k_positions=k_positions,
-            )
-            last_logits = logits[:, -1].astype(jnp.float32)
 
             lstate = pipeline.init_state(B if not use_cfg else B // 2)
             finished = jnp.zeros((B,), bool)
@@ -762,24 +840,19 @@ class DecodeEngine:
                 tokens = jax.lax.dynamic_update_slice(tokens, sampled[:, None], (0, cur_len))
                 return sampled, lstate, rng, new_finished, tokens
 
-            sampled, lstate, rng, finished, tokens = sample_from(
-                last_logits, lstate, rng, finished, tokens, P
-            )
-            attn = jax.lax.dynamic_update_slice(attn, jnp.ones((B, 1), bool), (0, P))
-
             carry = DecodeCarry(
                 tokens=tokens,
                 attention_mask=attn,
                 cache=cache,
-                cur_len=jnp.asarray(P + 1, jnp.int32),
+                cur_len=start_len.astype(jnp.int32),
                 finished=finished,
                 rng=rng,
                 logits_state=lstate,
-                n_valid=n_valid + 1,
+                n_valid=n_valid,
             )
 
             def cond(c: DecodeCarry):
-                return (c.cur_len < P + gen_limit) & ~jnp.all(c.finished)
+                return (c.cur_len < buffer_len) & ~jnp.all(c.finished)
 
             def body(c: DecodeCarry):
                 last = jax.lax.dynamic_slice(c.tokens, (0, c.cur_len - 1), (B, 1))

@@ -785,15 +785,10 @@ class Processor:
     # -- result trimming helpers -----------------------------------------------------
 
     def _strip_result_row(self, row: np.ndarray, prompt_len: int) -> np.ndarray:
-        """The engine left-pads prompts into a bucket; locate the first
-        generated token = bucket size (count of prompt slots)."""
-        # the engine writes [pad... prompt][generated...]: generated starts at
-        # the first index >= prompt bucket. The engine bucket >= prompt_len;
-        # reconstruct by finding trailing segment after prompt content.
-        from ..decode.engine import _bucket
-
-        bucket = _bucket(prompt_len)
-        return row[bucket:]
+        """The engine writes [prompt][generated...] into a max_length-wide
+        buffer (prompt bucket pads exist only inside the prefill program);
+        generated tokens start exactly at the prompt width."""
+        return row[prompt_len:]
 
     @staticmethod
     def _strip_left_pads(row: np.ndarray) -> np.ndarray:
