@@ -559,6 +559,19 @@ def should_load_separate_timing_model(args, output_type=None) -> bool:
     return str(current) != str(base)
 
 
+def warm_engine(engine, train_args) -> None:
+    """Compile the engine's prompt-bucket prefill ladder for the serving
+    batch shapes (B=1 timing pass, B=2 CFG dual batch) ahead of the first
+    request (``inference.precompile=true``)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    n = (train_args.data.src_seq_len - 1) * train_args.data.hop_length
+    enc = engine.encode_with_cond(np.zeros((1, n), np.float32))
+    engine.precompile(enc)
+    engine.precompile(jnp.concatenate([enc, enc], axis=0))
+
+
 def run(args):
     """Everything after config composition: load models, compile args, and
     generate. Programmatic entry used by web_ui / calc_fid / colab (the
@@ -570,6 +583,15 @@ def run(args):
     if should_load_separate_timing_model(args):
         print("Using base model for timing generation.")
         timing_engine, timing_vocab = load_model(args, auto_select_gamemode_model=False)
+
+    if getattr(args, "precompile", False):
+        # serving warmup: compile every prompt-bucket prefill program now so
+        # no request ever pays a bucket-miss compile (the expensive decode
+        # loop is prompt-length independent and compiles on the first
+        # request per pipeline; see decode/engine.py compilation strategy)
+        warm_engine(engine, args.train)
+        if timing_engine is not None:
+            warm_engine(timing_engine, args.train)
 
     client = None
     if args.use_server:

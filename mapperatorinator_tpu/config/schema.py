@@ -548,6 +548,9 @@ class InferenceConfig:
     timer_iterations: int = 20
     use_server: bool = True
     max_batch_size: int = 16
+    # compile the engine's prompt-bucket prefill ladder at startup (serving
+    # warmup; decode loops still compile on the first request per pipeline)
+    precompile: bool = False
     resnap_events: bool = True
     snap_near_perfect_overlaps: bool = True
 
