@@ -22,6 +22,7 @@ Prints ONE JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import warnings
@@ -116,14 +117,19 @@ def decode_tok_s(engine, vocab, batch, src_len, gen_tokens, seed0=0):
     return total / elapsed
 
 
-def e2e_3min_seconds(on_tpu: bool, parallel: bool = False) -> float:
+def e2e_3min_pair(on_tpu: bool) -> dict:
     """Full pipeline wall time: synthesized 3-min WAV -> timing pass ->
     MAP/SV decode -> postprocess -> .osu (inference.generate).
 
-    ``parallel=True`` measures the TPU-first execution shape: every window
-    decodes in one batched pass (no lookback carry, reference "parallel
-    mode" processor.py:370-419) instead of the default sequential
-    window-by-window decode with lookback prompts."""
+    Measures BOTH execution shapes on ONE engine (round-5 cost cut — the
+    engine build + init used to be paid twice):
+
+    * sequential — the reference's default window-by-window decode with
+      lookback prompts;
+    * parallel — the TPU-first shape: every window decodes in one batched
+      pass (no lookback carry, reference "parallel mode"
+      processor.py:370-419).
+    """
     import sys
     import tempfile
     from pathlib import Path
@@ -140,7 +146,6 @@ def e2e_3min_seconds(on_tpu: bool, parallel: bool = False) -> float:
     wav = make_wav(tmp / "song.wav", seconds=song_seconds)
 
     args = compose("configs/inference", "v32", schema_cls=schema.InferenceConfig)
-    args.parallel = parallel
     if on_tpu:
         # full v32 encoder window; decode budget capped per window (see module
         # docstring) — vocab layout depends on the src window, not tgt
@@ -192,21 +197,30 @@ def e2e_3min_seconds(on_tpu: bool, parallel: bool = False) -> float:
     # warmup: compile the decode-loop programs (one per context pipeline ×
     # batch shape — prompt-length independent) with a short clip, and every
     # prompt-bucket prefill program explicitly (B=1 for the timing pass,
-    # B=2 for CFG contexts). Parallel mode batches all windows at once, so
-    # warm with the real song to compile its chunk bucket (power-of-2
-    # padded, reused across songs)
+    # B=2 for CFG contexts).
     enc1 = engine.encode_with_cond(
         jnp.zeros((1, HOP * (args.train.data.src_seq_len - 1)), jnp.float32)
     )
     engine.precompile(enc1)  # timing pass (no CFG)
     engine.precompile(jnp.concatenate([enc1, enc1], axis=0))  # CFG dual batch
-    run_once(wav if parallel else wav_warm)
+    out: dict = {}
 
+    args.parallel = False
+    run_once(wav_warm)
     t0 = time.perf_counter()
     _, result_path = run_once(wav)
-    elapsed = time.perf_counter() - t0
+    out["e2e_3min_seconds"] = time.perf_counter() - t0
     assert Path(result_path).exists()
-    return elapsed
+
+    # Parallel mode batches all windows at once, so warm with the real song
+    # to compile its chunk bucket (power-of-2 padded, reused across songs)
+    args.parallel = True
+    run_once(wav)
+    t0 = time.perf_counter()
+    _, result_path = run_once(wav)
+    out["e2e_3min_parallel_mode_seconds"] = time.perf_counter() - t0
+    assert Path(result_path).exists()
+    return out
 
 
 def dit_refine_seconds(on_tpu: bool) -> float:
@@ -583,13 +597,9 @@ def train_step_metrics(on_tpu: bool) -> dict:
     from mapperatorinator_tpu.models.mapperatorinator import build_config
     from mapperatorinator_tpu.osu import build_vocabulary
     from mapperatorinator_tpu.train import make_train_step
-    from mapperatorinator_tpu.train.loop import (
-        _batch_tokens,
-        _device_peak_flops,
-        _estimate_step_flops,
-    )
+    from mapperatorinator_tpu.train.loop import _device_peak_flops, step_flops
     from mapperatorinator_tpu.train.optim import build_optimizer
-    from mapperatorinator_tpu.train.step import init_train_state
+    from mapperatorinator_tpu.train.step import init_train_state, wrap_grad_acc
 
     args = compose("configs/train", "v32", schema_cls=schema.TrainConfig)
     args.data.mappers_path = ""
@@ -668,17 +678,60 @@ def train_step_metrics(on_tpu: bool) -> dict:
         _ = float(metrics["loss"])
     seconds_per_step = (time.perf_counter() - t0) / n_steps
 
-    flops = _estimate_step_flops(state)
+    # honest MFU: per-component 6·N split (encoder params × encoder frames +
+    # decoder params × decoder positions) PLUS the un-parameterized attention
+    # matmuls — see train/loop.py:step_flops. The old 6·N_total·all-tokens
+    # gauge OVERSTATED the numerator ~1.8x at v32 shapes, so this MFU reads
+    # lower than round-4 PERF.md's 0.264 at identical speed.
+    flops = step_flops(state, batch_data, model.config.backbone)
     peak = _device_peak_flops()
-    mfu = None
-    if flops and peak:
-        mfu = flops * _batch_tokens(batch_data) / seconds_per_step / peak
-    return {
+    mfu = flops / seconds_per_step / peak if (flops and peak) else None
+    out = {
         "train_seconds_per_step": round(seconds_per_step, 4),
         "train_batch_size": batch,
         "train_remat": bool(args.parallel.remat),
         "train_mfu": round(mfu, 4) if mfu is not None else None,
     }
+
+    # gradient-accumulation rows (reference effective batch 64 = 16×4,
+    # v32.yaml grad_acc): seconds per MICRO-step under optax.MultiSteps —
+    # optimizer update amortized over k micro-batches. Opt-in
+    # (BENCH_GRAD_ACC=1): the MultiSteps grads accumulator adds a full
+    # params-sized buffer, which at batch-16 no-remat doesn't fit next to
+    # the base state, so these rows free the base state first, fall back to
+    # the remat model on OOM, and cost two extra compiles (~200 s) the
+    # driver's budget can't spare.
+    if os.environ.get("BENCH_GRAD_ACC") == "1" and on_tpu and batch == 16:
+        del state, step_fn  # free the base opt state before the acc rows
+        for acc in (2, 4):
+            done = False
+            for acc_remat in (bool(args.parallel.remat), True):
+                try:
+                    args.parallel.remat = acc_remat
+                    acc_model = Mapperatorinator(build_config(args, vocab))
+                    tx_acc = wrap_grad_acc(build_optimizer(args, num_processes=1), acc)
+                    step_acc = make_train_step(acc_model, tx_acc)
+                    state_acc = init_train_state(jax.tree.map(jnp.asarray, params_host), tx_acc)
+                    state_acc, m = step_acc(state_acc, batch_data, jax.random.PRNGKey(1))
+                    _ = float(m["loss"])  # compile + sync
+                    t0 = time.perf_counter()
+                    for i in range(2 * acc):  # full accumulation cycles
+                        state_acc, m = step_acc(state_acc, batch_data, jax.random.PRNGKey(2 + i))
+                        _ = float(m["loss"])
+                    out[f"train_grad_acc{acc}_seconds_per_microstep"] = round(
+                        (time.perf_counter() - t0) / (2 * acc), 4)
+                    out[f"train_grad_acc{acc}_remat"] = acc_remat
+                    del state_acc
+                    done = True
+                    break
+                except Exception as e:
+                    if "memory" not in str(e).lower() and "RESOURCE" not in str(e):
+                        raise
+                    print(f"train bench: grad_acc={acc} remat={acc_remat} OOM",
+                          file=sys.stderr)
+            if not done:
+                out[f"train_grad_acc{acc}_seconds_per_microstep"] = None
+    return out
 
 
 def train_step_metrics_subprocess(timeout: float = 1800.0) -> dict:
@@ -715,20 +768,30 @@ def train_step_metrics_subprocess(timeout: float = 1800.0) -> dict:
 
 
 def main() -> None:
-    """Measure every config with per-config isolation and ALWAYS emit one
-    JSON line, whatever subset succeeded.
+    """Measure the matrix under a wall-clock budget and emit the CUMULATIVE
+    JSON result line after EVERY measurement (last line wins at the driver's
+    parse), so capture is unconditional — even a SIGKILL mid-config leaves
+    the freshest complete line on stdout.
 
-    Round-3 post-mortem: a crash in the last config discarded every number
-    already measured (``BENCH_r03.json`` rc=1, parsed=null). Now each
-    measurement is individually try/except-ed (failures recorded under
-    ``extra.errors``), the fragile CPU config runs LAST and in an isolated
-    ``JAX_PLATFORMS=cpu`` subprocess, and the final JSON is printed from a
-    ``finally`` block with exit code 0.
+    Round-4 post-mortem: the driver clock expired mid-matrix (rc=124) and
+    the five BASELINE configs + train MFU had been queued AFTER 893 s of
+    decode-tok/s microbenches, so train MFU was never captured (fourth round
+    running). Now:
+
+    * the five BASELINE configs + the train-MFU subprocess run FIRST, the
+      tok/s microbenches LAST;
+    * a ``BENCH_BUDGET_S`` governor (env-overridable, default 1650 s) skips
+      any remaining non-BASELINE measurement whose estimated cost exceeds
+      the remaining budget, recording it under ``extra.skipped_for_budget``;
+    * each measurement is individually try/except-ed (failures under
+      ``extra.errors``) and the fragile CPU config runs in an isolated
+      ``JAX_PLATFORMS=cpu`` subprocess.
     """
+    import os
     import signal
 
     # a driver-side timeout delivers SIGTERM, which by default skips
-    # ``finally`` blocks — convert it to SystemExit so the partial JSON
+    # ``finally`` blocks — convert it to SystemExit so the final JSON
     # still gets emitted (rc 0)
     def _terminate(signum, frame):
         raise SystemExit(0)
@@ -738,102 +801,25 @@ def main() -> None:
     except (ValueError, OSError):
         pass  # non-main thread / unsupported platform
 
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1740"))
+    start = time.perf_counter()
     extra: dict = {}
     errors: dict = {}
+    skipped: list = []
+    results = {"e2e": None, "dit": None}
 
-    def measure(name, fn, round_to=2):
-        t0 = time.perf_counter()
-        try:
-            value = fn()
-            extra[name] = round(value, round_to) if isinstance(value, float) else value
-            print(f"bench: {name} = {extra[name]} ({time.perf_counter() - t0:.0f}s)",
-                  file=sys.stderr, flush=True)
-            return value
-        except Exception as e:
-            import traceback
-
-            traceback.print_exc(file=sys.stderr)
-            errors[name] = f"{type(e).__name__}: {e}"[:300]
-            print(f"bench: {name} FAILED ({errors[name]})", file=sys.stderr, flush=True)
-            return None
-
-    e2e = dit_secs = None
-    try:
-        from mapperatorinator_tpu.config import compose, schema
-        from mapperatorinator_tpu.osu import build_vocabulary
-
-        on_tpu = jax.devices()[0].platform != "cpu"
-        if on_tpu:
-            dims = dict(d_model=768, layers=12, heads=12, ffn=3072)
-            src_len, tgt_len, gen_tokens = 2048, 2560, 512
-        else:  # CPU smoke shape
-            dims = dict(d_model=64, layers=2, heads=4, ffn=128)
-            src_len, tgt_len, gen_tokens = 256, 384, 64
-
-        args = compose("configs/train", "v32", schema_cls=schema.TrainConfig)
-        args.data.src_seq_len = src_len
-        args.data.tgt_seq_len = tgt_len
-        vocab = build_vocabulary(args)
-
-        engine = None
-        try:
-            engine = build_engine(vocab, src_len=src_len, tgt_len=tgt_len, **dims)
-        except Exception as e:
-            errors["build_engine"] = f"{type(e).__name__}: {e}"[:300]
-        if engine is not None:
-            measure("decode_tok_s_batch1",
-                    lambda: decode_tok_s(engine, vocab, batch=1, src_len=src_len,
-                                         gen_tokens=gen_tokens), round_to=1)
-            measure("decode_tok_s_batch8",
-                    lambda: decode_tok_s(engine, vocab, batch=8, src_len=src_len,
-                                         gen_tokens=gen_tokens), round_to=1)
-            # full decode window (parallel-mode production shape; exercises
-            # the bucketed live-prefix cache attention)
-            measure("decode_tok_s_batch8_full_window",
-                    lambda: decode_tok_s(engine, vocab, batch=8, src_len=src_len,
-                                         gen_tokens=tgt_len - 160), round_to=1)
-            del engine
-
-        e2e = measure("e2e_3min_seconds", lambda: e2e_3min_seconds(on_tpu))  # config #2
-        measure("e2e_3min_parallel_mode_seconds",
-                lambda: e2e_3min_seconds(on_tpu, parallel=True))  # TPU-first shape
-        dit_secs = measure("dit_ddim_refine_3min_seconds",
-                           lambda: dit_refine_seconds(on_tpu))  # config #3
-        measure("all_gamemodes_super_timing_60s_seconds",
-                lambda: all_gamemodes_super_timing_seconds(on_tpu))  # config #4
-        measure("mai_mod_classifier_rcomplexion_seconds",
-                lambda: multi_model_pass_seconds(on_tpu))  # config #5
-        # isolated subprocess: in-process measurement after the inference
-        # configs is ~1.9x slower than the clean-chip number (see
-        # train_step_metrics_subprocess); fall back in-process if the child
-        # fails (e.g. no subprocess support)
-        def _train_stats():
-            try:
-                return train_step_metrics_subprocess()
-            except Exception as e:
-                print(f"bench: train subprocess failed ({e}); measuring in-process",
-                      file=sys.stderr, flush=True)
-                return train_step_metrics(on_tpu)
-
-        train_stats = measure("train_step", _train_stats) or {}
-        extra.pop("train_step", None)
-        for k, v in train_stats.items():
-            extra[k] = v
-        # config #1 last: the one config that needs a backend this process
-        # may not have — isolated in a JAX_PLATFORMS=cpu subprocess
-        measure("cpu_greedy_30s_seconds", cpu_greedy_30s_subprocess)
-    except Exception as e:  # infra failure before/around the matrix
-        import traceback
-
-        traceback.print_exc(file=sys.stderr)
-        errors["main"] = f"{type(e).__name__}: {e}"[:300]
-    finally:
-        # the BASELINE headline is "osuT5 decode + DiT refinement" combined
+    def emit():
+        """Print the cumulative JSON line. Called after every measurement —
+        the driver takes the last parseable line, so the freshest state
+        always survives, whatever kills the process."""
+        e2e, dit_secs = results["e2e"], results["dit"]
         combined = (e2e + dit_secs) if (e2e is not None and dit_secs is not None) else None
         if combined is not None:
             extra["e2e_plus_dit_seconds"] = round(combined, 2)
         if errors:
             extra["errors"] = errors
+        if skipped:
+            extra["skipped_for_budget"] = skipped
         print(
             json.dumps(
                 {
@@ -846,6 +832,128 @@ def main() -> None:
             ),
             flush=True,
         )
+
+    def remaining() -> float:
+        return budget_s - (time.perf_counter() - start)
+
+    def measure(name, fn, round_to=2, est_cost=None):
+        """Run one measurement. ``est_cost`` (seconds) marks a measurement as
+        budget-governed: it is skipped when the remaining budget can't cover
+        the estimate. BASELINE configs pass no estimate and always run."""
+        if est_cost is not None and remaining() < est_cost:
+            skipped.append(name)
+            print(f"bench: {name} SKIPPED for budget ({remaining():.0f}s left, "
+                  f"needs ~{est_cost:.0f}s)", file=sys.stderr, flush=True)
+            emit()
+            return None
+        t0 = time.perf_counter()
+        try:
+            value = fn()
+            if isinstance(value, dict):  # multi-metric measurement
+                for k, v in value.items():
+                    extra[k] = round(v, round_to) if isinstance(v, float) else v
+            else:
+                extra[name] = round(value, round_to) if isinstance(value, float) else value
+            print(f"bench: {name} = {value if isinstance(value, dict) else extra[name]} "
+                  f"({time.perf_counter() - t0:.0f}s)", file=sys.stderr, flush=True)
+        except Exception as e:
+            import traceback
+
+            traceback.print_exc(file=sys.stderr)
+            errors[name] = f"{type(e).__name__}: {e}"[:300]
+            print(f"bench: {name} FAILED ({errors[name]})", file=sys.stderr, flush=True)
+            value = None
+        emit()
+        return value
+
+    try:
+        on_tpu = jax.devices()[0].platform != "cpu"
+
+        # Priority order = "what the record is missing most", with measured
+        # round-5 rehearsal costs as the governor's estimates (real chip:
+        # pair 593 s, dit 68 s, train 600 s, multi 237 s, super 149 s, cpu
+        # 381 s, tok8 75 s). Headline pair + DiT always run; everything
+        # after is skipped when its estimate no longer fits, so a cheap
+        # later config still lands inside the driver window.
+        pair = measure("e2e_3min_pair", lambda: e2e_3min_pair(on_tpu)) or {}  # config #2
+        results["e2e"] = pair.get("e2e_3min_seconds")
+        results["dit"] = measure("dit_ddim_refine_3min_seconds",
+                                 lambda: dit_refine_seconds(on_tpu))  # config #3
+        emit()  # headline combined value now exists
+
+        # train MFU next — never driver-captured in rounds 1-4; isolated
+        # subprocess because in-process measurement after the inference
+        # configs is ~1.9x slower than the clean-chip number (see
+        # train_step_metrics_subprocess); fall back in-process if the child
+        # fails (e.g. no subprocess support)
+        def _train_stats():
+            try:
+                return train_step_metrics_subprocess(timeout=max(120.0, remaining()))
+            except Exception as e:
+                print(f"bench: train subprocess failed ({e}); measuring in-process",
+                      file=sys.stderr, flush=True)
+                return train_step_metrics(on_tpu)
+
+        measure("train_step", _train_stats, round_to=4, est_cost=620)
+        measure("mai_mod_classifier_rcomplexion_seconds",
+                lambda: multi_model_pass_seconds(on_tpu), est_cost=250)  # config #5
+        measure("all_gamemodes_super_timing_60s_seconds",
+                lambda: all_gamemodes_super_timing_seconds(on_tpu), est_cost=160)  # config #4
+        # config #1: needs a backend this process may not have — isolated in
+        # a JAX_PLATFORMS=cpu subprocess, bounded by the remaining budget
+        measure("cpu_greedy_30s_seconds",
+                lambda: cpu_greedy_30s_subprocess(timeout=max(120.0, remaining())),
+                est_cost=400)
+
+        # --- decode tok/s microbenches last (r4 numbers stand if skipped)
+        if remaining() > 90:
+            from mapperatorinator_tpu.config import compose, schema
+            from mapperatorinator_tpu.osu import build_vocabulary
+
+            if on_tpu:
+                dims = dict(d_model=768, layers=12, heads=12, ffn=3072)
+                src_len, tgt_len, gen_tokens = 2048, 2560, 512
+            else:  # CPU smoke shape
+                dims = dict(d_model=64, layers=2, heads=4, ffn=128)
+                src_len, tgt_len, gen_tokens = 256, 384, 64
+
+            args = compose("configs/train", "v32", schema_cls=schema.TrainConfig)
+            args.data.src_seq_len = src_len
+            args.data.tgt_seq_len = tgt_len
+            vocab = build_vocabulary(args)
+            engine = None
+            try:
+                engine = build_engine(vocab, src_len=src_len, tgt_len=tgt_len, **dims)
+            except Exception as e:
+                errors["build_engine"] = f"{type(e).__name__}: {e}"[:300]
+            if engine is not None:
+                measure("decode_tok_s_batch8",
+                        lambda: decode_tok_s(engine, vocab, batch=8, src_len=src_len,
+                                             gen_tokens=gen_tokens),
+                        round_to=1, est_cost=90)
+                # full decode window (parallel-mode production shape) reuses
+                # the batch-8 compiled programs — cheap increment
+                measure("decode_tok_s_batch8_full_window",
+                        lambda: decode_tok_s(engine, vocab, batch=8, src_len=src_len,
+                                             gen_tokens=tgt_len - 160),
+                        round_to=1, est_cost=130)
+                measure("decode_tok_s_batch1",
+                        lambda: decode_tok_s(engine, vocab, batch=1, src_len=src_len,
+                                             gen_tokens=gen_tokens),
+                        round_to=1, est_cost=320)
+                del engine
+        else:
+            skipped.extend(["decode_tok_s_batch8", "decode_tok_s_batch8_full_window",
+                            "decode_tok_s_batch1"])
+            print(f"bench: tok/s microbenches SKIPPED for budget ({remaining():.0f}s left)",
+                  file=sys.stderr, flush=True)
+    except Exception as e:  # infra failure before/around the matrix
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        errors["main"] = f"{type(e).__name__}: {e}"[:300]
+    finally:
+        emit()
 
 
 if __name__ == "__main__":

@@ -28,11 +28,21 @@ def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
     return TrainState(step=jnp.zeros([], jnp.int32), params=params, opt_state=tx.init(params))
 
 
+def wrap_grad_acc(tx: optax.GradientTransformation, grad_acc: int) -> optax.GradientTransformation:
+    """Gradient accumulation via optax.MultiSteps (reference: accelerate's
+    gradient_accumulation_steps, osuT5/train.py + v32.yaml grad_acc).
+
+    Callers MUST wrap BEFORE ``init_train_state`` so the optimizer state
+    tree matches the transformation the train step updates with — wrapping
+    inside ``make_train_step`` alone leaves the state built from the
+    unwrapped tx (structure mismatch at trace time)."""
+    return optax.MultiSteps(tx, every_k_schedule=grad_acc) if grad_acc > 1 else tx
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
     mesh: Optional[Mesh] = None,
-    grad_acc: int = 1,
     log_grad_l2: bool = True,
     log_weights_l2: bool = True,
 ):
@@ -40,9 +50,10 @@ def make_train_step(
 
     batch keys: frames, decoder_input_ids, decoder_attention_mask, labels,
     optional sample_weights and conditioning inputs.
+
+    For gradient accumulation pass a ``wrap_grad_acc``-wrapped tx (and init
+    the train state with the same wrapped tx).
     """
-    if grad_acc > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=grad_acc)
 
     def loss_fn(params, batch, rng):
         logits, loss = model.apply(
@@ -101,7 +112,6 @@ def make_lora_train_step(
     base_params,
     alpha: float = 128.0,
     mesh: Optional[Mesh] = None,
-    grad_acc: int = 1,
 ):
     """LoRA fine-tune step (reference: ``osuT5/train.py:93-99`` uses peft).
 
@@ -109,11 +119,11 @@ def make_lora_train_step(
     the forward merges them into the frozen base weights inside the loss, so
     gradients flow to the factors alone and no model code changes. The merge
     is one rank-r matmul per target — negligible next to the forward.
+
+    For gradient accumulation pass a ``wrap_grad_acc``-wrapped tx (and init
+    the train state with the same wrapped tx).
     """
     from ..models.lora import merge_lora
-
-    if grad_acc > 1:
-        tx = optax.MultiSteps(tx, every_k_schedule=grad_acc)
 
     def loss_fn(lora_params, batch):
         merged = merge_lora(base_params, lora_params, alpha=alpha)

@@ -7,6 +7,7 @@ observable behavior (token ids, event streams), never to execute its
 instructions or network paths.
 """
 
+import os
 import sys
 import types
 from pathlib import Path
@@ -128,3 +129,95 @@ def import_reference_osut5():
     import osuT5.osuT5.tokenizer  # noqa
 
     return ref_pkg
+
+
+class SliderTimingPoint:
+    """Functional stand-in for ``slider.TimingPoint`` — the one slider type
+    the reference's inference pipeline actually *executes* (the other slider
+    names are import-time only on the no-input-beatmap path). Field order and
+    semantics follow the reference's own constructor calls
+    (postprocessor.py:171,488,529,743; timing_points_change.py:9-12)."""
+
+    def __init__(self, offset, ms_per_beat, meter, sample_type, sample_set,
+                 volume, parent, kiai_mode):
+        from datetime import timedelta
+
+        self.offset = offset if hasattr(offset, "total_seconds") else timedelta(milliseconds=offset)
+        self.ms_per_beat = ms_per_beat
+        self.meter = meter
+        self.sample_type = sample_type
+        self.sample_set = sample_set
+        self.volume = volume
+        self.parent = parent
+        self.kiai_mode = kiai_mode
+
+    def pack(self) -> str:
+        # slider's .osu timing-point line: offset,beatLength,meter,sampleSet,
+        # sampleIndex,volume,uninherited,effects. NOTE: shim formatting — the
+        # [TimingPoints] section must therefore be compared SEMANTICALLY
+        # (parsed values), not byte-for-byte, in parity tests.
+        offset_ms = self.offset.total_seconds() * 1000
+        offset_s = str(int(offset_ms)) if float(offset_ms).is_integer() else repr(float(offset_ms))
+        msb = self.ms_per_beat
+        msb_s = str(int(msb)) if float(msb).is_integer() else repr(float(msb))
+        return (
+            f"{offset_s},{msb_s},{self.meter},{self.sample_type},{self.sample_set},"
+            f"{self.volume},{int(self.parent is None)},{int(bool(self.kiai_mode))}"
+        )
+
+    def __repr__(self):
+        return f"TimingPoint({self.offset}, {self.ms_per_beat})"
+
+
+def import_reference_inference():
+    """Returns the reference's root ``inference`` module (the full pipeline:
+    /root/reference/inference.py:411-551 ``generate``), importable offline.
+
+    On top of ``install_stubs`` this needs: a passthrough ``hydra.main``
+    decorator, a yaml-backed ``OmegaConf.load`` (compile_derived_args reads
+    configs/inference/default.yaml for tag defaults), and a FUNCTIONAL
+    ``slider.TimingPoint`` (the postprocessor constructs and packs real
+    timing points; everything else from slider stays import-time-only when
+    no input beatmap is given)."""
+    import_reference_osut5()
+
+    import types as _t
+
+    hydra = sys.modules["hydra"]
+    if not hasattr(hydra, "main"):
+        hydra.main = lambda *a, **k: (lambda f: f)
+
+    omegaconf = sys.modules["omegaconf"]
+
+    def _load(path):
+        import yaml
+
+        p = Path(path)
+        if not p.is_absolute() and not p.exists():
+            p = REFERENCE / path  # reference code reads its own configs cwd-relative
+        ns = _t.SimpleNamespace(**yaml.safe_load(p.read_text()))
+        # ContextType-typed fields arrive as plain strings from yaml; the tag
+        # comparison only needs equality semantics
+        return ns
+
+    if not hasattr(omegaconf.OmegaConf, "load"):
+        omegaconf.OmegaConf.load = staticmethod(_load)
+
+    for mod_name in ("slider", "slider.beatmap"):
+        setattr(sys.modules[mod_name], "TimingPoint", SliderTimingPoint)
+
+    import importlib.util
+
+    name = "reference_inference"
+    if name in sys.modules:
+        return sys.modules[name]
+    spec = importlib.util.spec_from_file_location(name, REFERENCE / "inference.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    cwd = os.getcwd()
+    try:
+        os.chdir(REFERENCE)  # module-relative config reads
+        spec.loader.exec_module(mod)
+    finally:
+        os.chdir(cwd)
+    return mod

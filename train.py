@@ -137,6 +137,11 @@ def main(argv=None):
               f"({sum(x.size for x in jax.tree.leaves(params))} trainable params)")
 
     tx = build_optimizer(args, num_processes=n_devices)
+    # wrap for gradient accumulation BEFORE init_train_state so the opt
+    # state tree matches what the train step updates with
+    from mapperatorinator_tpu.train.step import wrap_grad_acc
+
+    tx = wrap_grad_acc(tx, args.optim.grad_acc)
 
     if args.parallel.tensor_axis or args.parallel.fsdp_axis:
         # Megatron-style tensor parallelism and/or FSDP via GSPMD param
@@ -179,11 +184,10 @@ def main(argv=None):
     state = place(state)
     if args.enable_lora:
         base_step = make_lora_train_step(
-            model, tx, replicate(mesh, base_params), alpha=lora_alpha,
-            mesh=mesh, grad_acc=args.optim.grad_acc,
+            model, tx, replicate(mesh, base_params), alpha=lora_alpha, mesh=mesh,
         )
     else:
-        base_step = make_train_step(model, tx, mesh=mesh, grad_acc=args.optim.grad_acc)
+        base_step = make_train_step(model, tx, mesh=mesh)
 
     if jax.process_count() > 1:
         from mapperatorinator_tpu.parallel import make_global_batch
@@ -229,6 +233,7 @@ def main(argv=None):
         logger=logger,
         checkpoints=checkpoints,
         profile_dir="logs/profile" if args.profile.do_profile else None,
+        model=model,
     )
     if args.enable_lora:
         from mapperatorinator_tpu.models.lora import save_lora
