@@ -122,7 +122,10 @@ def import_reference_osut5():
     install_stubs()
     ref_root = str(REFERENCE)
     if ref_root not in sys.path:
-        sys.path.insert(0, ref_root)
+        # APPEND, not insert(0): the reference root carries top-level modules
+        # that collide with this repo's (inference.py, web_ui.py, ...) — the
+        # repo must always win a bare `import inference`
+        sys.path.append(ref_root)
     import osuT5.osuT5 as ref_pkg  # noqa
     import osuT5.osuT5.config  # noqa
     import osuT5.osuT5.event  # noqa
@@ -150,6 +153,14 @@ class SliderTimingPoint:
         self.volume = volume
         self.parent = parent
         self.kiai_mode = kiai_mode
+
+    @property
+    def bpm(self):
+        # slider semantics: only uninherited points carry a BPM; inherited
+        # points (parent set / negative ms_per_beat) report None
+        if self.parent is not None or not self.ms_per_beat or self.ms_per_beat <= 0:
+            return None
+        return 60000 / self.ms_per_beat
 
     def pack(self) -> str:
         # slider's .osu timing-point line: offset,beatLength,meter,sampleSet,
