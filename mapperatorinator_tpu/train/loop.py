@@ -507,6 +507,7 @@ def train(
     profile_dir: Optional[str] = None,
     on_step: Optional[Callable[[int, dict], None]] = None,
     model=None,
+    eval_fn: Optional[Callable] = None,
 ):
     """The main loop (reference: train_utils.py:379-434). Runs until
     optim.total_steps, with eval/log/ckpt hooks every configured interval."""
@@ -559,9 +560,14 @@ def train(
                 logger.log(add_prefix("train", stats), step)
 
             if eval_batch_factory is not None and step % args.eval.every_steps == 0:
-                eval_stats = eval_model(
-                    eval_step, state.params, eval_batch_factory(), vocab, args, max_steps=args.eval.steps
-                )
+                # eval_fn overrides the host-logits path — multi-host runs
+                # must reduce metrics on device (step.py:make_global_eval_step)
+                if eval_fn is not None:
+                    eval_stats = eval_fn(state.params, eval_batch_factory(), args.eval.steps)
+                else:
+                    eval_stats = eval_model(
+                        eval_step, state.params, eval_batch_factory(), vocab, args, max_steps=args.eval.steps
+                    )
                 if "test/loss" in eval_stats:
                     last_eval_loss = eval_stats["test/loss"]
                 if logger is not None:

@@ -14,6 +14,7 @@ from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
@@ -165,6 +166,78 @@ def make_lora_train_step(
         return jitted
 
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+def make_global_eval_step(model, mesh: Mesh):
+    """Mesh-sharded eval step whose metrics are reduced across the ENTIRE
+    global batch ON DEVICE, so only replicated scalars ever leave the mesh.
+
+    This is the multi-host-safe eval path (reference: train_utils.py:236-318
+    runs eval under DDP where each rank sees its own logits and accelerate
+    gathers them): the host-side :func:`make_eval_step` materializes the full
+    logits array, which a process in a multi-host run cannot do — the array
+    spans non-addressable devices. Here each process feeds only its local
+    eval rows (``parallel.make_global_batch``) and reads back replicated
+    (loss, correct, total) scalars; per-context slicing needs host logits and
+    stays a single-host feature."""
+    replicated = NamedSharding(mesh, P())
+    batch_sharding = NamedSharding(mesh, P("data"))
+
+    def eval_step(params, batch):
+        logits, loss = model.apply(
+            params,
+            frames=batch["frames"],
+            decoder_input_ids=batch["decoder_input_ids"],
+            decoder_attention_mask=batch.get("decoder_attention_mask"),
+            labels=batch["labels"],
+            sample_weights=batch.get("sample_weights"),
+            deterministic=True,
+        )
+        labels = batch["labels"]
+        mask = labels != -100  # LABEL_IGNORE_ID
+        preds = jnp.argmax(logits, axis=-1)
+        correct = jnp.sum((preds == labels) & mask)
+        total = jnp.sum(mask)
+        return {"loss": loss, "correct": correct, "total": total}
+
+    def jitted(params, batch):
+        params_sh = jax.tree.map(
+            lambda x: x.sharding if hasattr(x, "sharding") else replicated, params
+        )
+        fn = jax.jit(
+            eval_step,
+            in_shardings=(params_sh, jax.tree.map(lambda _: batch_sharding, batch)),
+            out_shardings=None,
+        )
+        return fn(params, batch)
+
+    return jitted
+
+
+def eval_model_global(eval_step_global, params, local_batches, mesh, max_steps=None) -> dict:
+    """Multi-host eval driver: every process iterates its OWN local eval rows
+    in lockstep (``local_batches`` yields per-process shards of the same
+    global batch sequence), assembles global arrays, and averages the
+    device-reduced metrics. Returns ``{"test/loss", "test/acc"}`` computed
+    over the global eval set."""
+    from ..parallel import make_global_batch
+
+    loss_sum = correct = total = 0.0
+    n = 0
+    for i, local in enumerate(local_batches, start=1):
+        if max_steps is not None and i > max_steps:
+            break
+        local = {k: v for k, v in local.items() if k not in ("beatmap_idx",)}
+        m = eval_step_global(params, make_global_batch(mesh, local))
+        m = {k: float(np.asarray(v.addressable_data(0) if hasattr(v, "addressable_data") else v))
+             for k, v in m.items()}
+        loss_sum += m["loss"]
+        correct += m["correct"]
+        total += m["total"]
+        n += 1
+    if n == 0:
+        return {}
+    return {"test/loss": loss_sum / n, "test/acc": correct / total if total else 0.0}
 
 
 def make_eval_step(model):

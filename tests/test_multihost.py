@@ -3,8 +3,10 @@
 The reference trains multi-node via torchrun + NCCL DDP; the equivalent here
 is ``jax.distributed.initialize`` + a global mesh with per-process batch
 feeding. Validated the TPU-native way: 2 real OS processes, each with a
-4-virtual-device CPU backend, joined over gloo — one data-parallel train
-step must produce the same loss as the single-process 8-device mesh.
+4-virtual-device CPU backend, joined over gloo — 5 per-process-fed
+data-parallel train steps with a distributed orbax save/scramble/restore in
+the middle and a device-reduced global eval at the end must produce the same
+(loss trajectory, eval metrics) digest as the single-process 8-device mesh.
 """
 
 import numpy as np
@@ -24,9 +26,10 @@ def test_single_process_helpers_are_noops():
     assert maybe_initialize(None) is False
 
 
-def test_two_process_step_matches_single_process():
+def test_two_process_train_matches_single_process():
     # spawns 2 children x 4 virtual CPU devices + a 1x8 reference child and
-    # asserts loss equality (raises on divergence)
+    # asserts digest equality: 5-step loss trajectory across a distributed
+    # orbax save/scramble/restore, plus device-reduced global eval metrics
     graft.run_multihost_dryrun(8)
 
 

@@ -205,6 +205,17 @@ def main(argv=None):
 
         _eval_base = eval_step
         eval_step = lambda p, batch: _eval_base(merge_lora(base_params, p, alpha=lora_alpha), batch)  # noqa: E731
+    eval_fn = None
+    if jax.process_count() > 1:
+        # multi-host: per-process eval rows, device-reduced global metrics —
+        # the host-logits eval_model path cannot materialize a multi-process
+        # logits array (step.py:make_global_eval_step)
+        from mapperatorinator_tpu.train.step import eval_model_global, make_global_eval_step
+
+        _global_eval = make_global_eval_step(model, mesh)
+
+        def eval_fn(params, batches, max_steps):
+            return eval_model_global(_global_eval, params, batches, mesh, max_steps=max_steps)
     # only process 0 logs; secondary hosts keep a per-process dir so nothing
     # contends on the shared filesystem
     logger = (MetricsLogger("logs", log_with=args.logging.log_with,
@@ -234,6 +245,7 @@ def main(argv=None):
         checkpoints=checkpoints,
         profile_dir="logs/profile" if args.profile.do_profile else None,
         model=model,
+        eval_fn=eval_fn,
     )
     if args.enable_lora:
         from mapperatorinator_tpu.models.lora import save_lora
