@@ -355,6 +355,132 @@ def test_single_object_rates_zero(mode):
     assert stars == pytest.approx(0.0, abs=0.05)
 
 
+# ---------------------------------------------------------------------------
+# hand-derived fixed-value fixtures (VERDICT r4 item 4)
+# ---------------------------------------------------------------------------
+# The expected star values below are derived BY WALKING THE PUBLISHED LAZER
+# FORMULAS NUMERICALLY, step by step, in plain Python arithmetic — not by
+# calling the implementation. The maps are chosen so every data-dependent
+# branch of the Aim/Speed evaluators resolves trivially and the walk is
+# auditable by hand:
+#   * distinct positions 100 px apart, 500 ms deltas, AR9 => no stacking
+#     (stack window = preempt 600 ms x leniency 0.7 = 420 ms < 500 ms) and no
+#     speed bonus (strain_time 500 >= 75) and no doubletapness penalty
+#     (equal deltas => delta_diff 0 => ratio 1);
+#   * a 2-object map exercises the SPEED skill alone (AimEvaluator returns 0
+#     for the first difficulty object — it needs i>=2);
+#   * a 3-object straight line adds the AIM skill with every bonus term zero:
+#     the angle-bonus branch requires last.angle defined (d[1].angle is
+#     undefined at -1), and equal velocities kill the velocity-change bonus
+#     (sin(0)=0).
+# A constant typo anywhere in the std pipeline (skill multipliers, decay
+# bases, the 0.0675 rating scale, the reduced-section baseline, the final
+# star combination) now fails with an explanation instead of silently
+# re-baselining a golden snapshot.
+
+
+def _fixed_value_map(n_circles: int) -> str:
+    head = ["osu file format v14", "", "[General]", "Mode: 0", "",
+            "[Difficulty]", "CircleSize:4", "OverallDifficulty:7",
+            "HPDrainRate:5", "ApproachRate:9",
+            "SliderMultiplier:1.4", "SliderTickRate:1", "",
+            "[TimingPoints]", "0,500,4,2,0,70,1,0", "", "[HitObjects]"]
+    objs = [f"{100 + 100 * i},192,{1000 + 500 * i},1,0,0:0:0:0:"
+            for i in range(n_circles)]
+    return "\n".join(head + objs)
+
+
+def _star_combination(aim_rating: float, speed_rating: float) -> float:
+    """lazer OsuDifficultyCalculator: ratings -> base performances -> stars."""
+    base_aim = (5.0 * max(1.0, aim_rating / 0.0675) - 4.0) ** 3 / 100_000.0
+    base_speed = (5.0 * max(1.0, speed_rating / 0.0675) - 4.0) ** 3 / 100_000.0
+    base_perf = (base_aim ** 1.1 + base_speed ** 1.1) ** (1.0 / 1.1)
+    # PERFORMANCE_BASE_MULTIPLIER = 1.15 (see NETWORK_TODO.md: the first
+    # networked rosu-pp run should adjudicate 1.15 vs the older 1.14)
+    return 1.15 ** (1.0 / 3.0) * 0.027 * (
+        (100_000.0 / 2.0 ** (1.0 / 1.1) * base_perf) ** (1.0 / 3.0) + 4.0)
+
+
+def test_std_two_circles_speed_skill_value():
+    """Circles at (100,192)@1000ms and (200,192)@1500ms, CS4 OD7.
+
+    SPEED walk (SpeedEvaluator + Speed strain skill):
+      radius      = 32 * (1 - 0.7*(4-5)/5)          = 36.48 osu!px
+      scaling     = 50 / 36.48 (radius >= 30: no small-circle adjustment)
+      jump        = 100 px * scaling                = 137.061... normalized
+      strain_time = 500 ms (>= 25 clamp, >= 75 => speed_bonus = 1)
+      doubletapness = 1 (no next object)
+      dist        = min(125, travel 0 + jump)       = 125 (capped)
+      speed_value = (1 + 1 * (125/125)^3.5) / 500   = 0.004
+      strain      = 0.004 * 1375 (skill multiplier) = 5.5
+      one section => one peak; top-5 reduction scales the single peak by the
+      ReducedStrainBaseline 0.75 (log10 lerp t=0); weighted sum = peak
+      speed_difficulty = 5.5 * 0.75 * 1.04          = 4.29
+      speed_rating = sqrt(4.29) * 0.0675
+    AIM: AimEvaluator returns 0 at i=1 (< 2 difficulty objects) =>
+      aim_difficulty 0 => aim_rating 0 => base_aim floors at (5*1-4)^3/1e5.
+    """
+    speed_difficulty = (((1.0 + 1.0) / 500.0) * 1375.0) * 0.75 * 1.04
+    expected = _star_combination(0.0, np.sqrt(speed_difficulty) * 0.0675)
+    stars = beatmap_stars(Beatmap.from_string(_fixed_value_map(2)))
+    assert stars == pytest.approx(expected, rel=1e-9)
+    # the public entry rounds to 2 decimals (reference data_utils parity)
+    assert calculate_difficulty(content=_fixed_value_map(2)) == round(expected, 2)
+
+
+def test_std_three_circles_aim_and_speed_skill_values():
+    """Circles at x=100,200,300 (y=192), t=1000,1500,2000 ms, CS4 OD7.
+
+    Shared geometry: jump = 100 * 50/36.48 per pair, strain_time = 500 ms.
+
+    AIM walk (AimEvaluator): only i=2 contributes (i=1 returns 0).
+      curr_velocity = jump / 500
+      equal strain times pass the <1.25x gate, but the angle-bonus branch
+      needs last.angle >= 0 and d[1].angle is undefined (-1) => no bonus;
+      equal velocities => |pv - cv| = 0 => velocity_change_bonus = 0;
+      no sliders => slider_bonus = 0.
+      aim_strain(i=2) = curr_velocity * 23.55 (skill multiplier), decayed
+      from an all-zero history.
+      Sections (length 400): first boundary 1200, second 1600. Crossing to
+      i=2 carries strains[1] = 0, so the only positive peak is strains[2].
+      aim_difficulty = aim_strain * 0.75 (single-peak reduction) * 1.06
+
+    SPEED walk: speed_value = 0.004 per object (same as the 2-circle walk;
+      doubletapness at i=1 is 1 because the deltas are equal).
+      strain(i=1) = 5.5
+      strain(i=2) = 5.5 * 0.3^(500/1000) + 5.5
+      RhythmEvaluator = sqrt(4+0)/2 = 1 at both (its history loop needs
+      historical_note_count - 2 > 0, i.e. at least 3 prior objects).
+      Sections: crossing 1600 banks peak1 = 5.5; the new section starts from
+      strains[1] decayed over the 100 ms gap to the boundary,
+      5.5 * 0.3^(100/1000), then takes max with strains[2].
+      Top-5 reduction over the two sorted peaks: t=0 => x0.75,
+      t=1/5 => x(0.75 + 0.25*log10(1 + 0.2*9)); re-sort, weight 1, 0.9.
+      speed_difficulty = weighted_sum * 1.04
+    """
+    scaling = 50.0 / 36.48
+    jump = 100.0 * scaling
+
+    aim_strain = (jump / 500.0) * 23.55
+    aim_difficulty = aim_strain * 0.75 * 1.06
+    aim_rating = np.sqrt(aim_difficulty) * 0.0675
+
+    s1 = ((1.0 + 1.0) / 500.0) * 1375.0                 # 5.5
+    s2 = s1 * 0.3 ** 0.5 + s1
+    peak1 = s1                                          # banked at 1600
+    peak2 = max(s1 * 0.3 ** 0.1, s2)                    # final section
+    top, second = max(peak1, peak2), min(peak1, peak2)
+    top *= 0.75                                         # t = 0/5
+    second *= 0.75 + 0.25 * np.log10(1.0 + 9.0 * (1.0 / 5.0))
+    top, second = max(top, second), min(top, second)    # re-sorted descending
+    speed_difficulty = (top + 0.9 * second) * 1.04
+    speed_rating = np.sqrt(speed_difficulty) * 0.0675
+
+    expected = _star_combination(aim_rating, speed_rating)
+    stars = beatmap_stars(Beatmap.from_string(_fixed_value_map(3)))
+    assert stars == pytest.approx(expected, rel=1e-9)
+
+
 def _try_import_rosu():
     try:
         import rosu_pp_py as rosu
