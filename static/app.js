@@ -37,6 +37,7 @@
       if (el.type === "checkbox") el.checked = !!v;
       else el.value = v;
     }
+    updateConditionalFields();
   }
 
   function append(line, cls) {
@@ -170,24 +171,60 @@
     setRunning(false);
   });
 
-  $("validate-paths").addEventListener("click", async () => {
+  /* Path validation + autofill placeholders (reference ValidationManager,
+     static/app.js:381-470: blur on a path field posts /validate_paths; a
+     success response carries compile_args' autofilled values, shown as
+     placeholders; errors render inline). */
+  const PLACEHOLDER_FIELDS = [
+    "audio_path", "output_path", "beatmap_path", "gamemode", "difficulty",
+    "title", "title_unicode", "artist", "artist_unicode", "creator",
+    "version", "preview_time", "source", "tags", "hp_drain_rate",
+    "circle_size", "approach_rate", "overall_difficulty",
+    "slider_multiplier", "slider_tick_rate", "hold_note_ratio",
+    "scroll_speed_ratio", "mapper_id",
+  ];
+
+  async function validateAndAutofill() {
     const body = new FormData();
-    for (const k of ["audio_path", "output_path", "beatmap_path", "model_path"]) {
-      const v = form.elements[k].value;
-      if (v) body.append(k, v);
+    for (const k of ["audio_path", "output_path", "beatmap_path"]) {
+      body.append(k, form.elements[k] ? form.elements[k].value : "");
     }
-    const res = await fetch("/validate_paths", { method: "POST", body: new URLSearchParams(body) });
-    const out = await res.json();
-    const missing = Object.entries(out).filter(([, ok]) => !ok).map(([k]) => k);
+    const model = form.elements.model ? form.elements.model.value : "";
+    if (model) body.append("model", model);
+    let out;
+    try {
+      const res = await fetch("/validate_paths", { method: "POST", body: new URLSearchParams(body) });
+      out = await res.json();
+    } catch (e) {
+      return false;
+    }
     const el = $("path-status");
-    if (missing.length === 0) {
-      el.textContent = i18n.t("status.paths_ok", "all paths exist");
-      el.className = "ok";
+    if (out.success) {
+      for (const name of PLACEHOLDER_FIELDS) {
+        const input = form.elements[name];
+        if (!input || input instanceof RadioNodeList || input.multiple) continue;
+        const v = out.autofilled_args ? out.autofilled_args[name] : null;
+        if ("placeholder" in input) input.placeholder = v === null || v === undefined ? "" : String(v);
+      }
+      if (el) { el.textContent = i18n.t("status.paths_ok", "paths ok"); el.className = "ok"; }
     } else {
-      el.textContent = i18n.t("status.paths_bad", "missing: ") + missing.join(", ");
-      el.className = "err";
+      for (const name of PLACEHOLDER_FIELDS) {
+        const input = form.elements[name];
+        if (input && "placeholder" in input && !(input instanceof RadioNodeList)) input.placeholder = "";
+      }
+      if (el) {
+        el.textContent = (out.errors || []).join("; ") || i18n.t("status.paths_bad", "invalid paths");
+        el.className = "err";
+      }
     }
-  });
+    return !!out.success;
+  }
+
+  $("validate-paths").addEventListener("click", validateAndAutofill);
+  for (const k of ["audio_path", "output_path", "beatmap_path"]) {
+    const input = form.elements[k];
+    if (input) input.addEventListener("blur", validateAndAutofill);
+  }
 
   $("save-config-btn").addEventListener("click", async () => {
     persistConfig();
@@ -245,14 +282,61 @@
     await fetch("/open_folder", { method: "POST", body: new URLSearchParams(body) });
   });
 
-  // gamemode-dependent field visibility
-  $("gamemode").addEventListener("change", () => {
+  /* Conditional field visibility (reference UIManager.updateConditionalFields
+     + updateModelSettings, static/app.js:185-290): declarative
+     data-show-for-gamemode / data-hide-for-model attributes on
+     .conditional-field wrappers, beatmap-path-dependent context options, and
+     the v30 gamemode lock. */
+  function updateConditionalFields() {
     const gm = $("gamemode").value;
-    $("mania-settings").style.display = (gm === "3" || gm === "1") ? "" : "none";
-  });
+    const model = $("model-select").value;
+    const beatmap = form.elements.beatmap_path ? form.elements.beatmap_path.value.trim() : "";
 
-  populateModels();
+    document.querySelectorAll(".conditional-field[data-show-for-gamemode]").forEach((el) => {
+      const modes = el.dataset.showForGamemode.split(",");
+      el.style.display = modes.includes(gm) ? "" : "none";
+    });
+    document.querySelectorAll(".conditional-field[data-hide-for-model]").forEach((el) => {
+      const hidden = el.dataset.hideForModel.split(",");
+      el.style.display = hidden.includes(model) ? "none" : "";
+    });
+
+    // beatmap-path-dependent fields; hiding unchecks the toggles so a
+    // cleared reference path can't silently keep add_to_beatmap active
+    const showBeatmapFields = beatmap !== "";
+    for (const id of ["in-context-options", "add-to-beatmap-option", "overwrite-reference-beatmap-option"]) {
+      const el = $(id);
+      if (!el) continue;
+      el.style.display = showBeatmapFields ? "" : "none";
+    }
+    if (!showBeatmapFields) {
+      if ($("add_to_beatmap")) $("add_to_beatmap").checked = false;
+      if ($("overwrite_reference_beatmap")) $("overwrite_reference_beatmap").checked = false;
+    }
+
+    // v30 is osu!standard-only: force and lock the gamemode select
+    const gmSel = $("gamemode");
+    if (model === "v30") {
+      if (gmSel.value !== "0") {
+        gmSel.value = "0";
+        updateConditionalFields();
+        return;
+      }
+      gmSel.disabled = true;
+    } else {
+      gmSel.disabled = false;
+    }
+  }
+
+  $("gamemode").addEventListener("change", updateConditionalFields);
+  $("model-select").addEventListener("change", updateConditionalFields);
+  if (form.elements.beatmap_path) {
+    form.elements.beatmap_path.addEventListener("input", updateConditionalFields);
+    form.elements.beatmap_path.addEventListener("blur", updateConditionalFields);
+  }
+
+  populateModels().then(updateConditionalFields);
   populateDescriptors();
   restoreConfig();
-  $("gamemode").dispatchEvent(new Event("change"));
+  updateConditionalFields();
 })();

@@ -129,12 +129,13 @@ def test_descriptors_endpoint(server):
 
 
 def test_validate_paths(server, tmp_path):
-    exists = tmp_path / "song.wav"
-    exists.write_bytes(b"")
-    status, out = _post(server + "/validate_paths",
-                        {"audio_path": str(exists), "model_path": "/nope"})
+    # reference contract {success, autofilled_args, errors}
+    # (web-ui.py:881-925); full behavior in test_web_ui_parity.py
+    status, out = _post(server + "/validate_paths", {"audio_path": "/nope.wav"})
     assert status == 200
-    assert out == {"audio_path": True, "model_path": False}
+    assert out["success"] is False
+    assert out["autofilled_args"] is None
+    assert any("not found" in e for e in out["errors"])
 
 
 def test_cancel_when_idle(server):

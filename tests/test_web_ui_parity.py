@@ -29,21 +29,14 @@ EQUIVALENT_IDS = {
 }
 
 # reference ids with no control semantics to port, each with the reason
+# (the conditional-visibility group wrappers group-*/option-item-* that used
+# to be excused here are now REAL ids carrying the same data-show/hide
+# attributes — behavior pinned by test_conditional_visibility_rules below)
 EXCUSED_IDS = {
     # CUDA-specific info text: bf16 support is unconditional on TPU (the
     # /check_bf16_support endpoint still exists and answers supported=true)
     "bf16-gpu-info": "CUDA capability hint; TPU bf16 is unconditional",
     "bf16-option": "wrapper div for the CUDA hint",
-    # pure layout wrappers around controls that exist here under the same
-    # name; visibility grouping is driven per-gamemode by app.js
-    "group-circle_size": "layout wrapper; control circle_size exists",
-    "group-hold_note_ratio": "layout wrapper; control hold_note_ratio exists",
-    "group-keycount": "layout wrapper; control keycount exists",
-    "group-scroll_speed_ratio": "layout wrapper; control scroll_speed_ratio exists",
-    "group-year": "layout wrapper; control year exists",
-    "option-item-hitsounded": "layout wrapper; control hitsounded exists",
-    "add-to-beatmap-option": "layout wrapper; control add_to_beatmap exists",
-    "overwrite-reference-beatmap-option": "layout wrapper; control overwrite_reference_beatmap exists",
     # Jinja-templated per-context checkbox ids; ours are the static
     # in_context_options checkboxes inside #in-context-options
     "context-{{ option[0].lower() }}": "templated id; in_context_options checkboxes exist",
@@ -69,6 +62,7 @@ class IdScanner(HTMLParser):
         super().__init__()
         self.ids = set()
         self.control_ids = set()
+        self.conditional = {}  # id (or synthesized key) -> visibility rule
 
     def handle_starttag(self, tag, attrs):
         d = dict(attrs)
@@ -76,6 +70,15 @@ class IdScanner(HTMLParser):
             self.ids.add(d["id"])
             if tag in ("input", "select", "textarea", "button", "form"):
                 self.control_ids.add(d["id"])
+        show, hide = d.get("data-show-for-gamemode"), d.get("data-hide-for-model")
+        if show is not None or hide is not None:
+            key = d.get("id") or f"<anonymous {tag}>"
+            rule = {}
+            if show is not None:
+                rule["show_for_gamemode"] = frozenset(show.split(","))
+            if hide is not None:
+                rule["hide_for_model"] = frozenset(hide.split(","))
+            self.conditional[key] = rule
 
 
 def _scan(path: Path) -> IdScanner:
@@ -168,6 +171,113 @@ def test_open_log_file_containment(tmp_path):
         assert status == 404
     finally:
         httpd.shutdown()
+
+
+def test_conditional_visibility_rules_match_reference():
+    """BEHAVIOR parity for per-gamemode / per-model control visibility
+    (VERDICT r4 item 5): every identified conditional field in the reference
+    template (reference: static/app.js updateConditionalFields reading
+    data-show-for-gamemode / data-hide-for-model) must exist here with the
+    SAME rule — same gamemode set, same hidden-model set. The rules are data,
+    so this pins which gamemode shows which control, not just id existence."""
+    ref = _scan(REF_TEMPLATE)
+    ours = _scan(OUR_TEMPLATE)
+    mismatched = {}
+    for rid, rule in ref.conditional.items():
+        if rid.startswith("<anonymous"):
+            continue  # the reference's anonymous v30 descriptor wrapper is
+            # checked by rule-set inclusion below
+        target = EQUIVALENT_IDS.get(rid, rid)
+        if ours.conditional.get(target) != rule:
+            mismatched[rid] = (rule, ours.conditional.get(target))
+    assert not mismatched, f"visibility rules diverge from the reference: {mismatched}"
+
+    # every anonymous reference rule (e.g. the descriptors dropdown hidden
+    # for v30) must appear here as SOME element with the identical rule
+    ref_anonymous = [r for k, r in ref.conditional.items() if k.startswith("<anonymous")]
+    our_rules = list(ours.conditional.values())
+    unmatched = [r for r in ref_anonymous if r not in our_rules]
+    assert not unmatched, f"anonymous reference visibility rules unported: {unmatched}"
+
+
+def test_app_js_implements_conditional_mechanism():
+    """The client actually drives those attributes (reference app.js
+    UIManager semantics): reads both data attributes, toggles the
+    beatmap-path-dependent boxes, unchecks hidden beatmap toggles, and locks
+    the gamemode select to std for v30."""
+    js = Path("/root/repo/static/app.js").read_text(encoding="utf-8")
+    assert "data-show-for-gamemode" in js
+    assert "data-hide-for-model" in js
+    for el in ("in-context-options", "add-to-beatmap-option",
+               "overwrite-reference-beatmap-option"):
+        assert el in js, f"beatmap-path-dependent element {el} not driven"
+    assert "add_to_beatmap" in js and "checked = false" in js  # uncheck-on-hide
+    assert 'model === "v30"' in js and "disabled = true" in js  # v30 std lock
+
+
+@pytest.fixture()
+def ui_server():
+    import threading
+    from http.server import ThreadingHTTPServer
+
+    import web_ui
+
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), web_ui.Handler)
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        yield f"http://127.0.0.1:{httpd.server_address[1]}"
+    finally:
+        httpd.shutdown()
+
+
+def _post(base, path, fields):
+    import json
+    import urllib.parse
+    import urllib.request
+
+    data = urllib.parse.urlencode(fields).encode()
+    req = urllib.request.Request(base + path, data=data, method="POST")
+    try:
+        with urllib.request.urlopen(req) as resp:
+            return resp.status, json.loads(resp.read())
+    except urllib.error.HTTPError as e:
+        return e.code, json.loads(e.read())
+
+
+def test_validate_paths_reference_contract(ui_server, tmp_path):
+    """Driven behavior parity for /validate_paths (reference
+    web-ui.py:881-925): the endpoint runs the CLI's compile_args and returns
+    {success, autofilled_args, errors} — client-side validation messaging and
+    the autofill placeholders ride this contract."""
+    # no audio at all -> the CLI's own requirement message
+    status, out = _post(ui_server, "/validate_paths", {"audio_path": ""})
+    assert status == 200 and out["success"] is False
+    assert any("Audio file path is required" in e for e in out["errors"])
+    assert out["autofilled_args"] is None
+
+    # wrong beatmap extension -> the .osu validation error
+    bad = tmp_path / "song.txt"
+    bad.write_text("not a beatmap")
+    status, out = _post(ui_server, "/validate_paths", {"beatmap_path": str(bad)})
+    assert status == 200 and out["success"] is False
+    assert any(".osu" in e for e in out["errors"])
+
+    # a real audio file -> success + autofilled defaults and derived paths
+    import wave
+
+    import numpy as np
+
+    wav = tmp_path / "Artist - Title.wav"
+    with wave.open(str(wav), "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        w.writeframes(np.zeros(16000, np.int16).tobytes())
+    status, out = _post(ui_server, "/validate_paths", {"audio_path": str(wav)})
+    assert status == 200 and out["success"] is True and out["errors"] == []
+    auto = out["autofilled_args"]
+    assert auto["gamemode"] == 0                    # compile_default_args
+    assert auto["output_path"] == str(tmp_path)     # derived from the audio
 
 
 def test_cli_wizard_covers_every_reference_option():

@@ -195,6 +195,42 @@ def _mai_mod_worker(form: dict, q, log_path=None) -> None:
         q.put(f"__ERROR__{e}")
 
 
+def validate_and_autofill(form: dict) -> dict:
+    """The reference's /validate_paths contract (web-ui.py:881-925): run the
+    CLI's own ``compile_args`` on the submitted paths and return either the
+    autofilled argument values (shown as input placeholders client-side) or
+    the ValueError text as a user-facing validation error."""
+    try:
+        import dataclasses
+
+        import inference as inf
+
+        from mapperatorinator_tpu.config import compose, schema
+
+        config_name = _first(form, "model") or "v32"
+        args = compose(REPO_ROOT / "configs" / "inference", config_name,
+                       schema_cls=schema.InferenceConfig)
+        args.audio_path = (_first(form, "audio_path") or "").strip()
+        args.beatmap_path = (_first(form, "beatmap_path") or "").strip()
+        args.output_path = (_first(form, "output_path") or "").strip()
+
+        try:
+            inf.compile_args(args, verbose=False)
+        except ValueError as v:
+            return {"success": False, "autofilled_args": None, "errors": [str(v)]}
+
+        autofilled = {f.name: getattr(args, f.name) for f in dataclasses.fields(args)}
+        for key in ("in_context", "output_type", "train", "diffusion"):
+            autofilled.pop(key, None)
+        # every remaining value must be JSON-clean for the stdlib handler
+        autofilled = {k: (v if isinstance(v, (str, int, float, bool, list)) or v is None else str(v))
+                      for k, v in autofilled.items()}
+        return {"success": True, "autofilled_args": autofilled, "errors": []}
+    except Exception as e:  # unexpected failure, reference returns the text
+        return {"success": False, "autofilled_args": None,
+                "errors": [f"Error during path validation: {e}"]}
+
+
 def list_model_presets() -> list[str]:
     names = sorted(
         p.stem for p in (REPO_ROOT / "configs" / "inference").glob("*.yaml")
@@ -425,12 +461,7 @@ class Handler(BaseHTTPRequestHandler):
             else:
                 self._json({"status": "not running"})
         elif path == "/validate_paths":
-            results = {}
-            for key in ("audio_path", "beatmap_path", "model_path", "output_path", "lora_path"):
-                value = _first(form, key)
-                if value:
-                    results[key] = Path(value).exists()
-            self._json(results)
+            self._json(validate_and_autofill(form))
         elif path == "/save_config":
             data = {k: v if len(v) > 1 else v[0] for k, v in form.items()}
             CONFIG_SAVE_PATH.write_text(json.dumps(data, indent=2))
