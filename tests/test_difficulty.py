@@ -481,6 +481,113 @@ def test_std_three_circles_aim_and_speed_skill_values():
     assert stars == pytest.approx(expected, rel=1e-9)
 
 
+def test_mania_three_notes_strain_values():
+    """4K mania, circles at t=1000,1500,2000 ms in columns 0,1,2 (x=64,192,
+    320 -> column = floor(x*4/512)). No holds, so every hold term is neutral
+    (hold_factor 1, hold_addition 0).
+
+    Walk of the lazer mania Strain skill (per-column + overall):
+      i=1: col_strain[1] = 2; individual = 2 (delta 500 > 1 ms);
+           overall = 1*0.3^0.5 + 1;            strain_1 = 2 + 1 + sqrt(0.3)
+      i=2: col_strain[2] = 2; individual = 2;
+           overall = (1+sqrt(0.3))*0.3^0.5 + 1 = 1 + sqrt(0.3) + 0.3
+           strain_2 = 3.3 + sqrt(0.3)
+    Sections (length 400): the first boundary past t=1500 is 1600; crossing
+    to t=2000 banks strain_1 and opens the new section from the PREVIOUS
+    components decayed over the 100 ms gap with their own bases
+    (individual 0.125, overall 0.3), which strain_2 then beats.
+      peaks = [strain_1, strain_2]; stars = (strain_2 + 0.9*strain_1) * 0.018
+    """
+    head = ["osu file format v14", "", "[General]", "Mode: 3", "",
+            "[Difficulty]", "CircleSize:4", "OverallDifficulty:7",
+            "HPDrainRate:5", "ApproachRate:9",
+            "SliderMultiplier:1.4", "SliderTickRate:1", "",
+            "[TimingPoints]", "0,500,4,2,0,70,1,0", "", "[HitObjects]",
+            "64,192,1000,1,0,0:0:0:0:",
+            "192,192,1500,1,0,0:0:0:0:",
+            "320,192,2000,1,0,0:0:0:0:"]
+    s = np.sqrt(0.3)
+    strain_1 = 2.0 + 1.0 + s
+    strain_2 = 2.0 + 1.0 + s + 0.3
+    boundary_carry = 2.0 * 0.125 ** 0.1 + (1.0 + s) * 0.3 ** 0.1
+    assert boundary_carry < strain_2  # the new section's peak is strain_2
+    expected = (strain_2 + 0.9 * strain_1) * 0.018
+    stars = beatmap_stars(Beatmap.from_string("\n".join(head)))
+    assert stars == pytest.approx(expected, rel=1e-9)
+
+
+def test_taiko_four_mono_dons_stamina_value():
+    """Taiko, four dons (hitsound 0) at t=1000..2500 step 500 ms. With one
+    mono streak, only note 0 heads any colour structure, so the colour
+    evaluator returns 0 for every processed note (loop starts at i=2); equal
+    deltas give rhythm ratio 1/1 with difficulty 0. ONLY STAMINA contributes.
+
+    Stamina walk (interval to the same-hand note two hits back = 1000 ms):
+      value = 0.5 + 30/1000 = 0.53 per note, skill multiplier 1.1
+      strain_2 = 0.53*1.1 = 0.583
+      strain_3 = 0.583*0.4^0.5 + 0.583
+    Sections: first boundary ceil(2000/400)*400 = 2000 (t=2000 does NOT
+    cross: the while condition is strictly >). Crossing to t=2500 banks
+    strain_2 at boundary 2000, opens from strain_2 decayed over gap 0, banks
+    that at 2400, re-opens from strain_2 * 0.4^0.4, then takes strain_3.
+      stamina peaks = [0.583, 0.583, strain_3]
+    Combination: per-section peak = norm(2, norm(1.5, colour=0, stamina), 0)
+    = stamina * 0.375 * 0.0625; weighted sum (0.9) * 1.35; sr = * 1.4;
+    stars = 10.43 * ln(sr/8 + 1).
+    """
+    head = ["osu file format v14", "", "[General]", "Mode: 1", "",
+            "[Difficulty]", "CircleSize:4", "OverallDifficulty:7",
+            "HPDrainRate:5", "ApproachRate:9",
+            "SliderMultiplier:1.4", "SliderTickRate:1", "",
+            "[TimingPoints]", "0,500,4,2,0,70,1,0", "", "[HitObjects]"]
+    head += [f"256,192,{1000 + 500 * i},1,0,0:0:0:0:" for i in range(4)]
+    s2 = 0.53 * 1.1
+    s3 = s2 * 0.4 ** 0.5 + s2
+    sections = [s2, s2, s3]
+    scaled = sorted((v * 0.375 * 0.0625 for v in sections), reverse=True)
+    combined = sum(v * 0.9 ** i for i, v in enumerate(scaled)) * 1.35
+    expected = 10.43 * np.log(combined * 1.4 / 8.0 + 1.0)
+    stars = beatmap_stars(Beatmap.from_string("\n".join(head)))
+    assert stars == pytest.approx(expected, rel=1e-9)
+
+
+def test_catch_two_fruits_movement_value():
+    """Catch, fruits at x=100 t=1000 and x=300 t=1500, CS4.
+
+    Geometry: scale = (1 - 0.7*(4-5)/5)/2 = 0.57; catch width
+    106.75*scale*0.8; scaling = 41 / half_width (CS < 5.5: no reduction).
+    Hyper pre-pass: time_to_next = 500 - 1000/240, dist_to_next =
+    200 - half_width/0.8, so dist_to_hyper = ~326 >> 20 — no edge-dash term.
+
+    Movement walk (single difficulty object):
+      strain_time 500; the catcher starts on fruit 0, the target clamps to
+      normalized_x1 - (41-16); distance_moved = 200*scaling - 25
+      weighted_time = 500 + 13 + 3
+      addition = |dm|^1.3/510 + 12.5*min(|dm|, 82)/(41*6)/sqrt(516)
+      (no direction-change bonus: last_distance_moved = 0)
+      strain = addition/516 * 900 — one 750 ms section (boundary 1500 is not
+      crossed: strictly-greater test), weighted sum = the peak
+      stars = sqrt(strain) * 0.153
+    """
+    head = ["osu file format v14", "", "[General]", "Mode: 2", "",
+            "[Difficulty]", "CircleSize:4", "OverallDifficulty:7",
+            "HPDrainRate:5", "ApproachRate:9",
+            "SliderMultiplier:1.4", "SliderTickRate:1", "",
+            "[TimingPoints]", "0,500,4,2,0,70,1,0", "", "[HitObjects]",
+            "100,192,1000,1,0,0:0:0:0:",
+            "300,192,1500,1,0,0:0:0:0:"]
+    half_width = 106.75 * 0.57 * 0.8 / 2.0
+    assert 500.0 - 1000.0 / 240.0 - (200.0 - half_width / 0.8) > 20.0  # no edge-dash
+    scaling = 41.0 / half_width
+    dm = 200.0 * scaling - (41.0 - 16.0)
+    weighted_time = 500.0 + 13.0 + 3.0
+    addition = dm ** 1.3 / 510.0 + 12.5 * min(dm, 82.0) / (41.0 * 6.0) / np.sqrt(weighted_time)
+    strain = addition / weighted_time * 900.0
+    expected = np.sqrt(strain) * 0.153
+    stars = beatmap_stars(Beatmap.from_string("\n".join(head)))
+    assert stars == pytest.approx(expected, rel=1e-9)
+
+
 def _try_import_rosu():
     try:
         import rosu_pp_py as rosu
