@@ -26,7 +26,12 @@ class TrainState(NamedTuple):
 
 
 def init_train_state(params, tx: optax.GradientTransformation) -> TrainState:
-    return TrainState(step=jnp.zeros([], jnp.int32), params=params, opt_state=tx.init(params))
+    # jit the optimizer init: EAGER optax init over a full-size param tree
+    # dispatches one tiny program per leaf — on a tunneled TPU each is a
+    # remote compile, hundreds of seconds at v32 scale (round-5 bench probe);
+    # one jitted program is also persistently cacheable
+    return TrainState(step=jnp.zeros([], jnp.int32), params=params,
+                      opt_state=jax.jit(tx.init)(params))
 
 
 def wrap_grad_acc(tx: optax.GradientTransformation, grad_acc: int) -> optax.GradientTransformation:
