@@ -90,7 +90,7 @@ def main(argv=None):
     model = build_classifier(args, vocab)
 
     hop = args.model.spectrogram.hop_length
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed),
         frames=jnp.zeros((1, hop * (args.data.src_seq_len - 1)), jnp.float32),
         decoder_input_ids=jnp.ones((1, 8), jnp.int32),
@@ -111,7 +111,7 @@ def main(argv=None):
                      optax.adamw(schedule, weight_decay=args.optim.weight_decay))
     if args.optim.grad_acc > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=args.optim.grad_acc)
-    opt_state = tx.init(params)
+    opt_state = jax.jit(tx.init)(params)
 
     @jax.jit
     def train_step(params, opt_state, batch):

@@ -111,7 +111,7 @@ def main(argv=None):
 
     seq_len = args.data.seq_len
     rng = jax.random.PRNGKey(args.seed)
-    params = model.init(
+    params = jax.jit(model.init)(
         rng,
         jnp.zeros((1, seq_len, cfg.in_channels)),
         jnp.zeros((1,), jnp.int32),
@@ -123,7 +123,7 @@ def main(argv=None):
     schedule = build_schedule(args.optim)
     tx = optax.chain(optax.clip_by_global_norm(args.optim.grad_clip),
                      optax.adamw(schedule, weight_decay=args.optim.weight_decay))
-    opt_state = tx.init(params)
+    opt_state = jax.jit(tx.init)(params)
 
     from mapperatorinator_tpu.diffusion.schedule_sampler import make_schedule_sampler
 

@@ -54,12 +54,12 @@ def main(argv=None):
         hidden_size=args.model.hidden_size,
     )
     model = OsuR(cfg)
-    params = model.init(jax.random.PRNGKey(args.seed), jnp.zeros((1, args.data.src_seq_len), jnp.int32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(args.seed), jnp.zeros((1, args.data.src_seq_len), jnp.int32))
 
     schedule = build_schedule(args.optim)
     tx = optax.chain(optax.clip_by_global_norm(args.optim.grad_clip),
                      optax.adamw(schedule, weight_decay=args.optim.weight_decay))
-    opt_state = tx.init(params)
+    opt_state = jax.jit(tx.init)(params)
 
     @jax.jit
     def train_step(params, opt_state, batch):

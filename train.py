@@ -62,7 +62,7 @@ def build_model_and_data(args, mesh=None):
         return batches
 
     hop = args.model.spectrogram.hop_length
-    params = model.init(
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(args.seed),
         frames=jnp.zeros((1, hop * (args.data.src_seq_len - 1)), jnp.float32),
         decoder_input_ids=jnp.ones((1, 8), jnp.int32),
