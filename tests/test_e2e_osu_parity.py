@@ -123,6 +123,42 @@ def _tiny_osu(path):
     return path
 
 
+def _tiny_mania_osu(path):
+    """A minimal valid 120 BPM 4K mania map: notes cycling columns every
+    500 ms plus two hold notes — exercises the mania column tokens, the
+    column -> position conversion, and hold rendering in the composed
+    pipeline."""
+    lines = [
+        "osu file format v14",
+        "",
+        "[General]",
+        "AudioFilename: audio.mp3",
+        "Mode: 3",
+        "",
+        "[Difficulty]",
+        "HPDrainRate:7",
+        "CircleSize:4",
+        "OverallDifficulty:8",
+        "ApproachRate:5",
+        "SliderMultiplier:1.4",
+        "SliderTickRate:1",
+        "",
+        "[TimingPoints]",
+        "0,500,4,2,0,60,1,0",
+        "",
+        "[HitObjects]",
+    ]
+    # column k of 4 -> x = 512 * (k + 0.5) / 4
+    cols = [64, 192, 320, 448]
+    for i, t in enumerate(range(500, 9_000, 500)):
+        lines.append(f"{cols[i % 4]},192,{t},1,0,0:0:0:0:")
+    # two hold notes (type 128, endTime:hitSample)
+    lines.append(f"{cols[1]},192,9000,128,0,9400:0:0:0:0:")
+    lines.append(f"{cols[3]},192,9200,128,0,9600:0:0:0:0:")
+    path.write_text("\n".join(lines) + "\n")
+    return path
+
+
 def _runs(events, event_times):
     """Split a parsed event stream into hit groups: with types_first=False a
     group starts at its TIME_SHIFT token (parsing.py:216,359)."""
@@ -165,7 +201,8 @@ def _window_scripts(events, event_times, vocab, frame_times):
 
 
 @pytest.mark.slow
-def test_whole_pipeline_osu_parity(ref, tmp_path, monkeypatch):
+@pytest.mark.parametrize("gamemode", [0, 3])
+def test_whole_pipeline_osu_parity(ref, tmp_path, monkeypatch, gamemode):
     import torch
 
     ref_inf = import_reference_inference()
@@ -202,7 +239,11 @@ def test_whole_pipeline_osu_parity(ref, tmp_path, monkeypatch):
     args = compose(f"{REF_CONFIGS}/inference", "v32", schema_cls=schema.InferenceConfig)
     args.train = train_cfg
     args.audio_path = str(wav)
-    args.gamemode = 0
+    args.gamemode = gamemode
+    if gamemode == 3:
+        args.keycount = 4
+        args.hold_note_ratio = 0.2
+        args.scroll_speed_ratio = 0.5
     args.difficulty = 4.5
     args.seed = 7
     args.do_sample = False
@@ -228,7 +269,9 @@ def test_whole_pipeline_osu_parity(ref, tmp_path, monkeypatch):
     _, frame_times, _ = pre.segment(pre.load(str(wav)))
     frame_times = [int(t) for t in frame_times]
 
-    source = Beatmap.from_path(_tiny_osu(tmp_path / "fixture.osu"))
+    fixture = (_tiny_osu(tmp_path / "fixture.osu") if gamemode == 0
+               else _tiny_mania_osu(tmp_path / "fixture.osu"))
+    source = Beatmap.from_path(fixture)
     parser = BeatmapParser(train_cfg, vocab)
     map_events, map_times = parser.parse(source)
     timing_events, timing_times = parser.parse_timing(source)
