@@ -10,7 +10,6 @@
   const cancelBtn = $("cancel-btn");
   let jobId = null;
   let lastLogPath = null;
-  let source = null;
 
   function flash(message, cls) {
     const box = $("flash-container");
@@ -40,16 +39,57 @@
     updateConditionalFields();
   }
 
-  function append(line, cls) {
+  /* Per-job progress cards (reference ProgressManager, static/app.js:
+     1050-1310: one card per job with its own progress bar, throughput
+     readout, log, links, and cancel). */
+  function basename(p) { return (p || "").split(/[\\/]+/).pop(); }
+
+  function createCard(name) {
+    const card = document.createElement("div");
+    card.className = "progress-card";
+    const header = document.createElement("div");
+    header.className = "progress-card-header";
+    const title = document.createElement("span");
+    title.className = "progress-card-title";
+    title.textContent = name;
+    const cancel = document.createElement("button");
+    cancel.type = "button";
+    cancel.className = "cancel-button";
+    cancel.textContent = i18n.t("action.cancel", "Cancel");
+    header.appendChild(title);
+    header.appendChild(cancel);
+    const bar = document.createElement("progress");
+    bar.max = 100;
+    bar.value = 0;
+    const status = document.createElement("div");
+    status.className = "progress-card-status";
+    const throughput = document.createElement("div");
+    throughput.className = "progress-card-throughput";
+    throughput.style.display = "none";
+    const pre = document.createElement("pre");
+    pre.className = "progress-card-log";
+    const links = document.createElement("div");
+    links.className = "progress-card-links";
+    links.style.display = "none";
+    card.append(header, bar, status, throughput, pre, links);
+    progress.prepend(card);
+    return { card, bar, status, throughput, pre, links, cancel, title };
+  }
+
+  function cardAppend(ui, line, cls) {
     const span = document.createElement("span");
     if (cls) span.className = cls;
     span.textContent = line + "\n";
-    log.appendChild(span);
-    log.scrollTop = log.scrollHeight;
+    ui.pre.appendChild(span);
+    ui.pre.scrollTop = ui.pre.scrollHeight;
     const m = /(\d{1,3})%/.exec(line);
-    if (m) {
-      progress.hidden = false;
-      progress.value = Math.min(100, parseInt(m[1], 10));
+    if (m) ui.bar.value = Math.min(100, parseInt(m[1], 10));
+    // throughput readout (reference progress-card-throughput): surface any
+    // tokens/s figure the worker logs
+    const t = /([\d.]+)\s*(tokens?\/s|tok\/s|it\/s)/i.exec(line);
+    if (t) {
+      ui.throughput.style.display = "";
+      ui.throughput.textContent = `${t[1]} ${t[2]}`;
     }
   }
 
@@ -116,59 +156,85 @@
     localStorage.setItem("mapp_config", JSON.stringify(currentConfig()));
   }
 
-  function setRunning(running) {
-    generateBtn.disabled = running;
-    cancelBtn.disabled = !running;
-  }
-
-  function stream(id) {
-    if (source) source.close();
-    source = new EventSource(`/stream_output?job_id=${id}`);
-    source.onmessage = (ev) => {
+  function streamToCard(ui, id, outputPath) {
+    const src = new EventSource(`/stream_output?job_id=${id}`);
+    const finish = (text, cls) => {
+      ui.status.textContent = text;
+      if (cls) ui.status.className = `progress-card-status ${cls}`;
+      ui.cancel.disabled = true;
+      src.close();
+    };
+    src.onmessage = (ev) => {
       if (ev.data === "__DONE__") {
-        append(i18n.t("status.done", "Done."));
-        source.close();
-        setRunning(false);
-        progress.value = 100;
+        ui.bar.value = 100;
+        finish(i18n.t("status.done", "Done."), "ok");
+        if (outputPath) {
+          const link = document.createElement("a");
+          link.href = "#";
+          link.className = "open-folder-link";
+          link.textContent = i18n.t("action.open_output", "Open output folder");
+          link.addEventListener("click", async (e) => {
+            e.preventDefault();
+            await fetch("/open_folder", {
+              method: "POST",
+              body: new URLSearchParams({ path: outputPath }),
+            });
+          });
+          ui.links.appendChild(link);
+          ui.links.style.display = "";
+        }
       } else if (ev.data.startsWith("__ERROR__")) {
-        append(i18n.t("status.error", "Error: ") + ev.data.slice(9), "err");
-        source.close();
-        setRunning(false);
+        cardAppend(ui, ev.data.slice(9), "err");
+        finish(i18n.t("status.error", "Error: ") + ev.data.slice(9).slice(0, 120), "err");
       } else {
-        append(ev.data);
+        cardAppend(ui, ev.data);
       }
     };
-    source.onerror = () => { source.close(); setRunning(false); };
+    src.onerror = () => finish(i18n.t("status.error", "Error: ") + "stream lost", "err");
+    return src;
   }
 
   form.addEventListener("submit", async (e) => {
     e.preventDefault();
-    log.textContent = "";
-    progress.hidden = true;
     persistConfig();
-    setRunning(true);
-    append(i18n.t("status.started", "Generation started..."));
+    const model = form.elements.model ? form.elements.model.value : "";
+    const name = `${basename(form.elements.audio_path.value) || basename(form.elements.beatmap_path.value) || "job"} · ${model}`;
+    const ui = createCard(name);
+    ui.status.textContent = i18n.t("status.started", "Generation started...");
+    const outputPath = form.elements.output_path ? form.elements.output_path.value : "";
     const res = await fetch("/start_inference", { method: "POST", body: new URLSearchParams(formData()) });
     const out = await res.json();
     if (out.status !== "success") {
-      append(i18n.t("status.error", "Error: ") + (out.message || "unknown"), "err");
-      setRunning(false);
+      cardAppend(ui, out.message || "unknown", "err");
+      ui.status.textContent = i18n.t("status.error", "Error: ") + (out.message || "unknown");
+      ui.status.className = "progress-card-status err";
+      ui.cancel.disabled = true;
       return;
     }
     jobId = out.job_id;
     lastLogPath = out.log_path || null;
     $("open-log-btn").disabled = !lastLogPath;
-    stream(jobId);
+    const src = streamToCard(ui, out.job_id, outputPath);
+    ui.cancel.addEventListener("click", async () => {
+      await fetch("/cancel_inference", {
+        method: "POST",
+        body: new URLSearchParams({ job_id: out.job_id }),
+      });
+      cardAppend(ui, i18n.t("status.cancelled", "Cancelled."));
+      ui.status.textContent = i18n.t("status.cancelled", "Cancelled.");
+      ui.cancel.disabled = true;
+      src.close();
+    });
   });
 
+  // global cancel: acts on the most recently started job (per-card cancel
+  // buttons handle individual jobs)
   cancelBtn.addEventListener("click", async () => {
     if (!jobId) return;
-    const body = new FormData();
-    body.append("job_id", jobId);
-    await fetch("/cancel_inference", { method: "POST", body: new URLSearchParams(body) });
-    append(i18n.t("status.cancelled", "Cancelled."));
-    if (source) source.close();
-    setRunning(false);
+    await fetch("/cancel_inference", {
+      method: "POST",
+      body: new URLSearchParams({ job_id: jobId }),
+    });
   });
 
   /* Path validation + autofill placeholders (reference ValidationManager,

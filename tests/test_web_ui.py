@@ -208,6 +208,59 @@ def test_start_inference_drives_generation(server, tmp_path):
 
 
 @pytest.mark.slow
+def test_two_concurrent_jobs_stream_independently(server, tmp_path):
+    """The per-job progress-card UX rides concurrent jobs: two
+    /start_inference submissions must run side by side, each SSE stream
+    finishing with its own __DONE__ and its own output file (reference:
+    ProgressManager cards, static/app.js — one card per job_id)."""
+    from tests.fixtures.tiny_checkpoint import (
+        SRC_SEQ_LEN,
+        TGT_SEQ_LEN,
+        make_tiny_checkpoint,
+        make_wav,
+    )
+
+    ckpt = make_tiny_checkpoint(tmp_path / "ckpt")
+    wav = make_wav(tmp_path / "song.wav", seconds=8.0)
+    jobs = []
+    for i in range(2):
+        out_dir = tmp_path / f"out{i}"
+        out_dir.mkdir()
+        fields = {
+            "model": "v32",
+            "model_path": str(ckpt),
+            "audio_path": str(wav),
+            "output_path": str(out_dir),
+            "gamemode": "0",
+            "difficulty": "4.5",
+            "seed": str(3 + i),
+            "title": f"Job{i}", "artist": "pytest", "creator": "ci", "version": "cards",
+            "src_seq_len": str(SRC_SEQ_LEN),
+            "tgt_seq_len": str(TGT_SEQ_LEN),
+        }
+        status, out = _post(server + "/start_inference", fields)
+        assert status == 202, out
+        jobs.append((out["job_id"], out_dir))
+    assert jobs[0][0] != jobs[1][0]
+
+    deadline = time.time() + 900
+    for job_id, out_dir in jobs:
+        done = False
+        with urllib.request.urlopen(server + f"/stream_output?job_id={job_id}") as resp:
+            while time.time() < deadline:
+                line = resp.readline().decode()
+                if not line:
+                    break
+                if line.startswith("data: __DONE__"):
+                    done = True
+                    break
+                if line.startswith("data: __ERROR__"):
+                    raise AssertionError(f"job {job_id} failed: {line}")
+        assert done, f"job {job_id} did not finish"
+        assert list(out_dir.glob("*.osu")), f"job {job_id} produced no .osu"
+
+
+@pytest.mark.slow
 def test_start_mai_mod_returns_suggestions(server, tmp_path):
     """Full driven MaiMod analysis: form -> worker process -> SSE stream of
     structured suggestion records (VERDICT r2 item 2)."""

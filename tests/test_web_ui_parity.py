@@ -215,6 +215,22 @@ def test_app_js_implements_conditional_mechanism():
     assert 'model === "v30"' in js and "disabled = true" in js  # v30 std lock
 
 
+def test_app_js_implements_progress_cards():
+    """Per-job progress-card UX (reference ProgressManager,
+    static/app.js:1050-1310): one card per job with its own progress bar,
+    status, throughput readout, log, links row, and job-scoped cancel. The
+    concurrent-jobs backend behavior is driven in
+    test_web_ui.py::test_two_concurrent_jobs_stream_independently."""
+    js = Path("/root/repo/static/app.js").read_text(encoding="utf-8")
+    for needle in ("progress-card", "progress-card-title", "progress-card-status",
+                   "progress-card-throughput", "progress-card-log",
+                   "progress-card-links", "cancel-button"):
+        assert needle in js, f"progress-card element {needle} missing"
+    # per-card cancel posts its own job_id; throughput parses tokens/s lines
+    assert "cancel_inference" in js and "job_id: out.job_id" in js
+    assert "tok" in js and r"it\/s" in js  # throughput regex alternatives
+
+
 @pytest.fixture()
 def ui_server():
     import threading
