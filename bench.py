@@ -955,16 +955,16 @@ def main() -> None:
                       file=sys.stderr, flush=True)
                 return train_step_metrics(on_tpu)
 
-        measure("train_step", _train_stats, round_to=4, est_cost=620)
+        measure("train_step", _train_stats, round_to=4, est_cost=350)
         measure("mai_mod_classifier_rcomplexion_seconds",
-                lambda: multi_model_pass_seconds(on_tpu), est_cost=250)  # config #5
+                lambda: multi_model_pass_seconds(on_tpu), est_cost=200)  # config #5
         measure("all_gamemodes_super_timing_60s_seconds",
-                lambda: all_gamemodes_super_timing_seconds(on_tpu), est_cost=160)  # config #4
+                lambda: all_gamemodes_super_timing_seconds(on_tpu), est_cost=120)  # config #4
         # config #1: needs a backend this process may not have — isolated in
         # a JAX_PLATFORMS=cpu subprocess, bounded by the remaining budget
         measure("cpu_greedy_30s_seconds",
                 lambda: cpu_greedy_30s_subprocess(timeout=max(120.0, remaining())),
-                est_cost=400)
+                est_cost=330)
 
         # --- decode tok/s microbenches last (r4 numbers stand if skipped)
         if remaining() > 90:
@@ -991,17 +991,17 @@ def main() -> None:
                 measure("decode_tok_s_batch8",
                         lambda: decode_tok_s(engine, vocab, batch=8, src_len=src_len,
                                              gen_tokens=gen_tokens),
-                        round_to=1, est_cost=90)
+                        round_to=1, est_cost=60)
                 # full decode window (parallel-mode production shape) reuses
                 # the batch-8 compiled programs — cheap increment
                 measure("decode_tok_s_batch8_full_window",
                         lambda: decode_tok_s(engine, vocab, batch=8, src_len=src_len,
                                              gen_tokens=tgt_len - 160),
-                        round_to=1, est_cost=130)
+                        round_to=1, est_cost=90)
                 measure("decode_tok_s_batch1",
                         lambda: decode_tok_s(engine, vocab, batch=1, src_len=src_len,
                                              gen_tokens=gen_tokens),
-                        round_to=1, est_cost=320)
+                        round_to=1, est_cost=120)
                 del engine
         else:
             skipped.extend(["decode_tok_s_batch8", "decode_tok_s_batch8_full_window",
