@@ -159,6 +159,47 @@ def _tiny_mania_osu(path):
     return path
 
 
+def _tiny_taiko_osu(path):
+    """A minimal 120 BPM taiko map: alternating don/kat circles (kat =
+    whistle hitsound) every 500 ms — exercises taiko hitsound events through
+    the composed pipeline."""
+    lines = [
+        "osu file format v14", "",
+        "[General]", "AudioFilename: audio.mp3", "Mode: 1", "",
+        "[Difficulty]", "HPDrainRate:6", "CircleSize:5", "OverallDifficulty:5",
+        "ApproachRate:5", "SliderMultiplier:1.4", "SliderTickRate:1", "",
+        "[TimingPoints]", "0,500,4,2,0,60,1,0", "",
+        "[HitObjects]",
+    ]
+    for i, t in enumerate(range(500, 9_500, 500)):
+        hitsound = 0 if i % 2 == 0 else 8  # don / kat(clap)
+        lines.append(f"256,192,{t},1,{hitsound},0:0:0:0:")
+    path.write_text("\n".join(lines) + "\n")
+    return path
+
+
+def _tiny_catch_osu(path):
+    """A minimal 120 BPM catch map: fruits sweeping x positions every 500 ms
+    (y is gameplay-irrelevant) — exercises catch position handling."""
+    lines = [
+        "osu file format v14", "",
+        "[General]", "AudioFilename: audio.mp3", "Mode: 2", "",
+        "[Difficulty]", "HPDrainRate:5", "CircleSize:4", "OverallDifficulty:7",
+        "ApproachRate:8", "SliderMultiplier:1.4", "SliderTickRate:1", "",
+        "[TimingPoints]", "0,500,4,2,0,60,1,0", "",
+        "[HitObjects]",
+    ]
+    for i, t in enumerate(range(500, 9_500, 500)):
+        x = 32 + (i * 56) % 448
+        kind = 5 if i % 4 == 0 else 1
+        lines.append(f"{x},192,{t},{kind},0,0:0:0:0:")
+    path.write_text("\n".join(lines) + "\n")
+    return path
+
+
+FIXTURES = {0: _tiny_osu, 1: _tiny_taiko_osu, 2: _tiny_catch_osu, 3: _tiny_mania_osu}
+
+
 def _runs(events, event_times):
     """Split a parsed event stream into hit groups: with types_first=False a
     group starts at its TIME_SHIFT token (parsing.py:216,359)."""
@@ -201,7 +242,7 @@ def _window_scripts(events, event_times, vocab, frame_times):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("gamemode", [0, 3])
+@pytest.mark.parametrize("gamemode", [0, 1, 2, 3])
 def test_whole_pipeline_osu_parity(ref, tmp_path, monkeypatch, gamemode):
     import torch
 
@@ -269,9 +310,7 @@ def test_whole_pipeline_osu_parity(ref, tmp_path, monkeypatch, gamemode):
     _, frame_times, _ = pre.segment(pre.load(str(wav)))
     frame_times = [int(t) for t in frame_times]
 
-    fixture = (_tiny_osu(tmp_path / "fixture.osu") if gamemode == 0
-               else _tiny_mania_osu(tmp_path / "fixture.osu"))
-    source = Beatmap.from_path(fixture)
+    source = Beatmap.from_path(FIXTURES[gamemode](tmp_path / "fixture.osu"))
     parser = BeatmapParser(train_cfg, vocab)
     map_events, map_times = parser.parse(source)
     timing_events, timing_times = parser.parse_timing(source)
