@@ -231,3 +231,73 @@ def test_tensor_parallel_step_matches_data_parallel():
     assert np.isfinite(losses["dp8"])
     # sharded contractions change fp summation order; ~1e-4 drift expected
     assert abs(losses["dp8"] - losses["dp4tp2"]) < 2e-3, losses
+
+
+def test_fsdp_sharded_step_matches_replicated():
+    """FSDP param placement (parallel/sharding.py fsdp_axis: every large
+    parameter sharded along its first dim, GSPMD inserting the gathers)
+    produces the same loss as fully-replicated data parallelism — both as
+    fsdp-over-the-data-axis (the classic ZeRO-3 layout) and as a separate
+    dp4 x fsdp2 hybrid axis."""
+    import numpy as np
+    from jax.sharding import Mesh
+
+    import __graft_entry__ as g
+    from mapperatorinator_tpu.parallel import param_specs, shard_batch, shard_params
+    from mapperatorinator_tpu.parallel.mesh import ensure_on_mesh, replicate
+    from mapperatorinator_tpu.train import make_train_step
+    from mapperatorinator_tpu.train.optim import build_optimizer
+    from mapperatorinator_tpu.train.step import init_train_state
+
+    model, args, vocab = g._tiny_v32_model(d_model=32, layers=1, heads=2, ffn=64, tgt_len=32, src_len=64)
+    args.optim.name = "adamwscale"
+    args.optim.warmup_steps = 10
+    args.optim.total_steps = 100
+
+    rng = np.random.default_rng(0)
+    hop = 128
+    batch_data = {
+        "frames": rng.standard_normal((8, hop * 63)).astype(np.float32),
+        "decoder_input_ids": rng.integers(0, vocab.vocab_size_in, (8, 32)).astype(np.int32),
+        "decoder_attention_mask": np.ones((8, 32), np.int32),
+        "labels": rng.integers(0, vocab.vocab_size_out, (8, 32)).astype(np.int32),
+    }
+    params = model.init(
+        jax.random.PRNGKey(0),
+        frames=jnp.asarray(batch_data["frames"][:1]),
+        decoder_input_ids=jnp.asarray(batch_data["decoder_input_ids"][:1]),
+    )
+    tx = build_optimizer(args)
+    params = jax.device_get(params)
+
+    losses = {}
+    cases = {
+        "dp8": ((8,), ("data",), None),
+        "fsdp8": ((8,), ("data",), "data"),          # ZeRO-3: shard over the data axis
+        "dp4fsdp2": ((4, 2), ("data", "fsdp"), "fsdp"),
+    }
+    for name, (shape, axes, fsdp) in cases.items():
+        mesh = Mesh(np.asarray(jax.devices()[:8]).reshape(shape), axes)
+        if fsdp:
+            p = shard_params(mesh, params, fsdp_axis=fsdp)
+            specs = param_specs(params, fsdp_axis=fsdp, mesh=mesh)
+            n_sharded = sum(1 for s in jax.tree.leaves(specs, is_leaf=lambda x: hasattr(x, "index"))
+                            if fsdp in str(s))
+            assert n_sharded > 0, f"{name}: no parameter actually fsdp-sharded"
+            # the placement really shrinks per-device param bytes
+            big = max(jax.tree.leaves(p), key=lambda x: x.size)
+            assert big.addressable_shards[0].data.size < big.size
+        else:
+            p = replicate(mesh, params)
+        state = ensure_on_mesh(mesh, init_train_state(p, tx))
+        step_fn = make_train_step(model, tx, mesh=mesh)
+        new_state, metrics = step_fn(state, shard_batch(mesh, batch_data), jax.random.PRNGKey(1))
+        losses[name] = float(metrics["loss"])
+        if fsdp:
+            # updated params keep their FSDP placement across the step
+            big = max(jax.tree.leaves(new_state.params), key=lambda x: x.size)
+            assert big.addressable_shards[0].data.size < big.size
+
+    assert np.isfinite(losses["dp8"])
+    assert abs(losses["dp8"] - losses["fsdp8"]) < 2e-3, losses
+    assert abs(losses["dp8"] - losses["dp4fsdp2"]) < 2e-3, losses
