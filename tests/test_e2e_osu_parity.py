@@ -242,8 +242,9 @@ def _window_scripts(events, event_times, vocab, frame_times):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("gamemode", [0, 1, 2, 3])
-def test_whole_pipeline_osu_parity(ref, tmp_path, monkeypatch, gamemode):
+@pytest.mark.parametrize("gamemode,cfg_scale", [(0, 1.0), (0, 2.0), (1, 1.0), (2, 1.0), (3, 1.0)],
+                         ids=["std", "std-cfg", "taiko", "catch", "mania"])
+def test_whole_pipeline_osu_parity(ref, tmp_path, monkeypatch, gamemode, cfg_scale):
     import torch
 
     ref_inf = import_reference_inference()
@@ -289,7 +290,13 @@ def test_whole_pipeline_osu_parity(ref, tmp_path, monkeypatch, gamemode):
     args.seed = 7
     args.do_sample = False
     args.num_beams = 1
-    args.cfg_scale = 1.0
+    # cfg_scale > 1 makes both sides ALSO build the unconditional negative
+    # prompt each window (processor get_prompts; reference processor.py:
+    # get_prompts negative=True) — captured and compared like the cond one
+    args.cfg_scale = cfg_scale
+    if cfg_scale > 1:
+        args.descriptors = ["clean"]
+        args.negative_descriptors = ["messy"]
     args.super_timing = False
     args.generate_positions = False
     args.parallel = False
@@ -331,7 +338,9 @@ def test_whole_pipeline_osu_parity(ref, tmp_path, monkeypatch, gamemode):
         idx = ref_counter.get(ctx, 0)
         ref_counter[ctx] = idx + 1
         prompt = model_kwargs["decoder_input_ids"]
-        ref_calls.append((ctx, prompt[0].tolist()))
+        neg = model_kwargs.get("negative_prompt")
+        ref_calls.append((ctx, prompt[0].tolist(),
+                          neg[0].tolist() if neg is not None else None))
         script = torch.tensor(scripts[ctx][idx], dtype=prompt.dtype)[None]
         return torch.cat([prompt, script], dim=-1), None
 
@@ -345,7 +354,8 @@ def test_whole_pipeline_osu_parity(ref, tmp_path, monkeypatch, gamemode):
         idx = my_counter.get(ctx, 0)
         my_counter[ctx] = idx + 1
         cond_prompt = np.asarray(cond_prompt)
-        my_calls.append((ctx, cond_prompt[0].tolist()))
+        my_calls.append((ctx, cond_prompt[0].tolist(),
+                         np.asarray(uncond_prompt)[0].tolist() if uncond_prompt is not None else None))
         return np.concatenate([cond_prompt, scripts[ctx][idx][None]], axis=-1)
 
     monkeypatch.setattr(MyProcessor, "model_generate", my_fake_generate)
@@ -413,9 +423,13 @@ def test_whole_pipeline_osu_parity(ref, tmp_path, monkeypatch, gamemode):
     # prompts, token for token, in the same order
     assert my_counter == ref_counter
     assert len(my_calls) == len(ref_calls)
-    for i, ((my_ctx, my_prompt), (ref_ctx, ref_prompt)) in enumerate(zip(my_calls, ref_calls)):
+    for i, ((my_ctx, my_prompt, my_neg), (ref_ctx, ref_prompt, ref_neg)) in enumerate(
+            zip(my_calls, ref_calls)):
         assert my_ctx == ref_ctx, f"call {i}: context {my_ctx} != {ref_ctx}"
         assert my_prompt == ref_prompt, f"call {i} ({my_ctx}): prompt drift"
+        assert my_neg == ref_neg, f"call {i} ({my_ctx}): negative-prompt drift"
+    if cfg_scale > 1:
+        assert any(neg is not None for _, _, neg in my_calls), "no uncond prompts captured"
 
     ref_text = ref_path.read_text() if hasattr(ref_path, "read_text") else open(ref_path).read()
     my_text = my_path.read_text() if hasattr(my_path, "read_text") else open(my_path).read()
