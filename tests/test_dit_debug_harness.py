@@ -120,6 +120,44 @@ def test_plot_embeddings_tsne_path(tmp_path):
     assert pts.shape == (20, 2)
 
 
+def test_create_beatmap_dataframe_from_ors(tmp_path):
+    """create_beatmap_dataframe walks Track*/metadata.json into the
+    parquet table that plot_embeddings --metadata and
+    validate_beatmap_dataframe consume."""
+    import create_beatmap_dataframe as cbd
+    import validate_beatmap_dataframe as vbd
+
+    for i in range(2):
+        track = tmp_path / f"Track{i:05d}"
+        track.mkdir()
+        (track / "metadata.json").write_text(json.dumps({
+            "BeatmapSetId": 100 + i,
+            "Artist": "A", "Title": f"T{i}", "Creator": "C",
+            "Source": "", "Tags": "",
+            "Beatmaps": {
+                f"map{j}": {
+                    "BeatmapId": i * 10 + j,
+                    "Ruleset": 0,
+                    "Difficulty": 5.0,
+                    "CircleSize": 4,
+                    "ApproachRate": 9,
+                    "OverallDifficulty": 8,
+                    "HPDrain": 5,
+                    "StandardStarRating": {"0": 3.5 + j},
+                } for j in range(2)
+            },
+        }))
+    df = cbd.build_dataframe(str(tmp_path))
+    assert len(df) == 4
+    assert list(df["BeatmapID"]) == [0, 1, 10, 11]
+    assert df["StarRating"].tolist() == [3.5, 4.5, 3.5, 4.5]
+    assert df["HPDrainRate"].tolist() == [5, 5, 5, 5]
+
+    out = tmp_path / "df.parquet"
+    assert cbd.main([str(tmp_path), "--out", str(out)]) == 0
+    assert vbd.validate(str(out))["unique_ids"] == 4
+
+
 def test_validate_beatmap_dataframe(tmp_path, capsys):
     import pandas as pd
 
