@@ -112,6 +112,96 @@ def test_plot_embeddings_from_bundle(tmp_path):
     assert out.exists() and out.stat().st_size > 0
 
 
+@pytest.fixture()
+def bundle(tmp_path):
+    """A random tiny DiT params.msgpack bundle + a matching metadata table."""
+    import flax
+    import jax
+    import jax.numpy as jnp
+    import pandas as pd
+
+    from mapperatorinator_tpu.models.dit import DiT, DiTConfig
+
+    cfg = DiTConfig(hidden_size=16, depth=1, num_heads=2, class_size=12)
+    model = DiT(cfg)
+    params = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 4, cfg.in_channels)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 4, cfg.context_size)), jnp.zeros((1, cfg.class_size)),
+    )
+    b = tmp_path / "bundle"
+    b.mkdir()
+    (b / "params.msgpack").write_bytes(flax.serialization.to_bytes(params))
+    meta = tmp_path / "meta.parquet"
+    pd.DataFrame({
+        "BeatmapID": range(8),
+        "Title": [f"T{i}" for i in range(8)],
+        "BeatmapName": [f"B{i}" for i in range(8)],
+        "Creator": ["alice" if i < 3 else "bob" for i in range(8)],
+    }).to_parquet(meta)
+    return str(b), str(meta)
+
+
+def test_find_similar_beatmaps(bundle):
+    import find_similar_beatmaps as fsb
+
+    ckpt, meta = bundle
+    results = fsb.run(fsb.parse_args([
+        "--ckpt", ckpt, "--idx", "2", "--num-classes", "8", "-k", "3",
+        "--metadata", meta,
+    ]))
+    assert len(results) == 3
+    assert all(i != 2 for i, _ in results)
+    # neighbors come back sorted by distance
+    dists = [d for _, d in results]
+    assert dists == sorted(dists)
+
+
+def test_find_unique_beatmaps(bundle):
+    import find_unique_beatmaps as fub
+
+    ckpt, meta = bundle
+    results = fub.run(fub.parse_args([
+        "--ckpt", ckpt, "--metadata", meta, "--creator", "alice",
+        "--num-classes", "8", "-k", "4",
+    ]))
+    assert len(results) == 4
+    dists = [d for _, d in results]
+    assert dists == sorted(dists, reverse=True)  # farthest (most unique) first
+
+
+def test_embedding_svm_probe(bundle, tmp_path):
+    import embedding_svm as esvm
+
+    ckpt, meta = bundle
+    labels = tmp_path / "labels.csv"
+    labels.write_text("idx,label\n0,1\n1,1\n2,1\n5,0\n6,0\n7,0\n")
+    out = esvm.run(esvm.parse_args([
+        "--ckpt", ckpt, "--labels", str(labels), "--num-classes", "8",
+        "--metadata", meta, "--top", "3",
+    ]))
+    assert 0.0 <= out["accuracy"] <= 1.0
+    assert out["probs"].shape == (8,)
+
+
+def test_distance_distance(tmp_path):
+    import distance_distance as dd
+
+    ref = TOY
+    shifted = tmp_path / "gen"
+    shifted.mkdir()
+    text = ref.read_text()
+    # identical copy -> zero deltas; the tool must report MSE 0 and save a plot
+    (shifted / "same.osu").write_text(text)
+    results = dd.run(dd.parse_args([
+        "--ref-beatmap", str(ref), "--beatmap", str(shifted),
+        "--out-dir", str(tmp_path / "plots"),
+    ]))
+    assert len(results) == 1
+    assert results[0]["mse"] == pytest.approx(0.0)
+    assert Path(results[0]["plot"]).exists()
+
+
 def test_plot_embeddings_tsne_path(tmp_path):
     import plot_embeddings
 
