@@ -83,6 +83,14 @@ class TransformerConfig:
     # (the XLA composite materializes (B, H, T, S) fp32 logits in HBM; the
     # kernel keeps them in VMEM — 50x faster at T=8k)
     use_flash_attention: bool = True
+    # O(T·window) chunked attention for sliding-window layers in the
+    # non-cached forward (see _attend_banded_chunked). MEASURED SLOWER at
+    # the v32 shape on a v5e (train step 2.68 s/step vs 1.77 with the dense
+    # flash path): the 3x neighbor-gathered KV copies cost more HBM traffic
+    # than the skipped FLOPs save, and (C, 3C) tiles underfill the MXU that
+    # one dense 2560^2 matmul saturates. Default OFF; an option for much
+    # longer sequences / narrower windows where O(T^2) eventually loses.
+    banded_local_attention: bool = False
     # minimum TOTAL materialized logits elements (B*H*Tq*S — the HBM traffic
     # the XLA composite would round-trip) for the Pallas route; below it
     # XLA's fusions win. Default = the measured batch-1 par point
@@ -236,6 +244,73 @@ def _attend(
         logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
     probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
     return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def _attend_banded_chunked(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    window: int,
+    causal: bool,
+    key_mask: Optional[jnp.ndarray],
+    dtype: Dtype,
+    scaled: bool = True,
+) -> jnp.ndarray:
+    """Sliding-window attention in O(T·window) instead of O(T²).
+
+    Chunk the sequence into blocks of C = window//2; every query chunk
+    attends only its previous, own, and next chunks (3C keys), which exactly
+    covers the |q-k| <= window//2 band, with the precise band/causal/padding
+    mask applied inside the slice — so the attended key set, and therefore
+    the fp32 softmax result, matches the full masked form bit-for-fp-reorder.
+    At the v32 decoder shape (T=2560, window=128) this cuts the local
+    layers' attention matmul FLOPs ~13x (3C=192 keys vs 2560); XLA
+    differentiates it like any einsum, so training fwd+bwd both shrink.
+    Caller guarantees t % C == 0 and positions are arange (training / full
+    prefill layout)."""
+    b, t, h, d = q.shape
+    c = window // 2
+    n = t // c
+    scale = d ** -0.5 if scaled else 1.0
+
+    kc = k.reshape(b, n, c, h, d)
+    vc = v.reshape(b, n, c, h, d)
+    zeros = jnp.zeros((b, 1, c, h, d), k.dtype)
+
+    def with_neighbors(x, z):
+        return jnp.concatenate([
+            jnp.concatenate([z, x[:, :-1]], axis=1),
+            x,
+            jnp.concatenate([x[:, 1:], z], axis=1),
+        ], axis=2)  # (b, n, 3c, ...)
+
+    k3 = with_neighbors(kc, zeros)
+    v3 = with_neighbors(vc, zeros)
+    qc = q.reshape(b, n, c, h, d)
+
+    logits = jnp.einsum("bnchd,bnkhd->bnhck", qc, k3).astype(jnp.float32) * scale
+
+    chunk_base = (jnp.arange(n) * c)[:, None, None]            # (n, 1, 1)
+    q_pos = chunk_base + jnp.arange(c)[None, :, None]           # (n, c, 1)
+    k_pos = chunk_base + jnp.arange(3 * c)[None, None, :] - c   # (n, 1, 3c)
+    mask = (k_pos >= 0) & (k_pos < t) & (jnp.abs(q_pos - k_pos) <= c)
+    if causal:
+        mask = mask & (q_pos >= k_pos)
+    mask = mask[None, :, None]                                  # (1, n, 1, c, 3c)
+    if key_mask is not None:                                    # (b, t) bool
+        km = key_mask.reshape(b, n, c)
+        km3 = jnp.concatenate([
+            jnp.concatenate([jnp.zeros((b, 1, c), bool), km[:, :-1]], 1),
+            km,
+            jnp.concatenate([km[:, 1:], jnp.zeros((b, 1, c), bool)], 1),
+        ], axis=2)                                              # (b, n, 3c)
+        mask = mask & km3[:, :, None, None, :]
+
+    logits = jnp.where(mask, logits, jnp.finfo(jnp.float32).min)
+    probs = jax.nn.softmax(logits, axis=-1).astype(dtype)
+    out = jnp.einsum("bnhck,bnkhd->bnchd", probs, v3)
+    return out.reshape(b, t, h, d)
 
 
 def relative_position_bucket(
@@ -643,6 +718,19 @@ class Attention(nn.Module):
             q = q.astype(cfg.dtype)
             k = k.astype(cfg.dtype)
             out = _attend(q, k, v, mask, cfg.dtype, bias=pos_bias, scaled=False)
+        elif self._banded_eligible(cache, pos_bias, attn_mask, positions, t):
+            # sliding-window layers in O(T·window): each query chunk attends
+            # only its 3 neighboring chunks — ~13x fewer attention FLOPs at
+            # the v32 decoder shape than the full masked matmul (which both
+            # XLA and the Pallas kernel otherwise pay)
+            out = _attend_banded_chunked(
+                q, k, v,
+                window=cfg.local_attention,
+                causal=self.is_causal,
+                key_mask=attn_mask[:, 0, 0, :] if attn_mask is not None else None,
+                dtype=cfg.dtype,
+                scaled=cfg.attention_scale,
+            )
         elif self._flash_eligible(cache, pos_bias, attn_mask, q, k):
             from ..ops.attention_kernel import flash_attention
 
@@ -690,6 +778,26 @@ class Attention(nn.Module):
         idx = jnp.clip(cache_index // bucket, 0, n_buckets - 1)
         branches = [make_branch(nb + 1) for nb in range(n_buckets)]
         return jax.lax.switch(idx, branches, q, cache, cache_index, attn_mask)
+
+    def _banded_eligible(self, cache, pos_bias, attn_mask, positions, t) -> bool:
+        """Chunked banded attention covers the non-cached forward of
+        sliding-window SELF-attention layers with arange positions (training
+        and full prefill) and at most a key-padding mask; anything fancier
+        (caches, biases, custom position layouts) falls through to the
+        flash/XLA paths, whose in-band masking is exact."""
+        cfg = self.config
+        if not cfg.banded_local_attention or self.is_cross or not self.is_local:
+            return False
+        if cache is not None or pos_bias is not None or positions is not None:
+            return False
+        c = cfg.local_attention // 2
+        if c < 1 or t % c != 0 or t // c < 3:
+            return False
+        if attn_mask is not None and not (
+            attn_mask.ndim == 4 and attn_mask.shape[1] == 1 and attn_mask.shape[2] == 1
+        ):
+            return False
+        return True
 
     def _flash_eligible(self, cache, pos_bias, attn_mask, q, k) -> bool:
         """Pallas path covers the full-sequence (non-cached) forward with

@@ -216,6 +216,16 @@ def import_reference_inference():
 
     for mod_name in ("slider", "slider.beatmap"):
         setattr(sys.modules[mod_name], "TimingPoint", SliderTimingPoint)
+    # retro-patch reference modules that already from-imported the
+    # import-time placeholder (e.g. timing_points_change.py when a parity
+    # suite imported osuT5 first in the session) — a from-import binds the
+    # class into the module namespace, so updating slider alone is not enough
+    for name, mod in list(sys.modules.items()):
+        if not name.startswith("osuT5"):
+            continue
+        current = getattr(mod, "TimingPoint", None)
+        if isinstance(current, type) and current.__name__ == "_Placeholder":
+            mod.TimingPoint = SliderTimingPoint
 
     import importlib.util
 
